@@ -1,0 +1,18 @@
+from .decode import decode_predictions, decode_scale, xy_activation
+from .encoding import (encode_targets, encode_targets_np,
+                       extract_center_gt_boxes, flatten_anchors,
+                       match_anchors)
+from .geometry import (cxcywh_to_xyxy, iol_wh, iou_wh,
+                       pairwise_diou_xywh_topleft, pairwise_iou_cxcywh,
+                       pairwise_iou_xywh_topleft, undo_letterbox_boxes,
+                       xyxy_to_cxcywh)
+from .nms import batched_nms
+
+__all__ = [
+    'decode_predictions', 'decode_scale', 'xy_activation',
+    'encode_targets', 'encode_targets_np', 'extract_center_gt_boxes',
+    'flatten_anchors', 'match_anchors',
+    'cxcywh_to_xyxy', 'iol_wh', 'iou_wh', 'pairwise_diou_xywh_topleft',
+    'pairwise_iou_cxcywh', 'pairwise_iou_xywh_topleft',
+    'undo_letterbox_boxes', 'xyxy_to_cxcywh', 'batched_nms',
+]

@@ -1,0 +1,192 @@
+"""Box and anchor geometry primitives (pure JAX, shape-polymorphic, vmap-able).
+
+TPU-native re-implementation of the geometry math used throughout the
+reference framework (see /root/reference/multigriddet/utils/anchors.py:18-90,
+/root/reference/multigriddet/data/generators.py:2486-2494 and
+/root/reference/multigriddet/losses/iou_losses.py).  Everything here is a pure
+function over fixed-shape arrays so it fuses into surrounding XLA programs.
+
+Conventions
+-----------
+* ``wh`` pairs are ``(w, h)``.
+* ``cxcywh`` boxes are ``(center_x, center_y, w, h)``.
+* ``xyxy`` boxes are ``(x1, y1, x2, y2)`` with ``x2 >= x1``.
+* All functions broadcast over leading dimensions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS = 1e-8
+
+
+# ---------------------------------------------------------------------------
+# (w, h) anchor matching metrics — boxes and anchors share an implied center.
+# ---------------------------------------------------------------------------
+
+def iol_wh(boxes_wh: jnp.ndarray, anchors_wh: jnp.ndarray) -> jnp.ndarray:
+    """Intersection-over-Largest between (w,h) boxes and anchors.
+
+    IoL = intersection_area / max(box_area, anchor_area), assuming a common
+    center.  This is MultiGridDet's anchor-matching metric (reference:
+    multigriddet/data/generators.py:2486-2494).
+
+    Args:
+      boxes_wh: ``[..., N, 2]`` box (w, h).
+      anchors_wh: ``[M, 2]`` anchor (w, h).
+
+    Returns:
+      ``[..., N, M]`` IoL scores.
+    """
+    b = boxes_wh[..., :, None, :]        # [..., N, 1, 2]
+    a = anchors_wh[None, :, :]           # [1, M, 2]
+    inter = jnp.minimum(b, a)
+    inter_area = inter[..., 0] * inter[..., 1]
+    box_area = boxes_wh[..., :, None, 0] * boxes_wh[..., :, None, 1]
+    anchor_area = anchors_wh[None, :, 0] * anchors_wh[None, :, 1]
+    largest = jnp.maximum(box_area, anchor_area)
+    return inter_area / (largest + EPS)
+
+
+def iou_wh(boxes_wh: jnp.ndarray, anchors_wh: jnp.ndarray) -> jnp.ndarray:
+    """Classic IoU between (w,h) boxes and anchors with a shared center."""
+    b = boxes_wh[..., :, None, :]
+    a = anchors_wh[None, :, :]
+    inter = jnp.minimum(b, a)
+    inter_area = inter[..., 0] * inter[..., 1]
+    box_area = boxes_wh[..., :, None, 0] * boxes_wh[..., :, None, 1]
+    anchor_area = anchors_wh[None, :, 0] * anchors_wh[None, :, 1]
+    union = box_area + anchor_area - inter_area
+    return inter_area / (union + EPS)
+
+
+# ---------------------------------------------------------------------------
+# Full-box overlap metrics.
+# ---------------------------------------------------------------------------
+
+def cxcywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    xy, wh = boxes[..., 0:2], boxes[..., 2:4]
+    half = wh / 2.0
+    return jnp.concatenate([xy - half, xy + half], axis=-1)
+
+
+def xyxy_to_cxcywh(boxes: jnp.ndarray) -> jnp.ndarray:
+    mins, maxs = boxes[..., 0:2], boxes[..., 2:4]
+    return jnp.concatenate([(mins + maxs) / 2.0, maxs - mins], axis=-1)
+
+
+def pairwise_iou_cxcywh(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU between two sets of center-format boxes.
+
+    Args:
+      boxes1: ``[..., N, 4]`` cxcywh.
+      boxes2: ``[..., M, 4]`` cxcywh.
+
+    Returns:
+      ``[..., N, M]`` IoU (mirrors reference multigrid_loss.py:445-492).
+    """
+    b1 = cxcywh_to_xyxy(boxes1)[..., :, None, :]   # [..., N, 1, 4]
+    b2 = cxcywh_to_xyxy(boxes2)[..., None, :, :]   # [..., 1, M, 4]
+    inter_min = jnp.maximum(b1[..., 0:2], b2[..., 0:2])
+    inter_max = jnp.minimum(b1[..., 2:4], b2[..., 2:4])
+    inter_wh = jnp.maximum(inter_max - inter_min, 0.0)
+    inter = inter_wh[..., 0] * inter_wh[..., 1]
+    area1 = (boxes1[..., 2] * boxes1[..., 3])[..., :, None]
+    area2 = (boxes2[..., 2] * boxes2[..., 3])[..., None, :]
+    union = area1 + area2 - inter
+    return inter / (union + EPS)
+
+
+def pairwise_iou_xywh_topleft(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                              use_iol: bool = False) -> jnp.ndarray:
+    """Pairwise IoU (or IoL) for boxes in top-left ``(x, y, w, h)`` format.
+
+    Matches the NMS-stage metric of the reference (postprocess/nms.py:41-148):
+    ``use_iol=True`` divides intersection by the larger of the two areas.
+    """
+    x1, y1 = boxes1[..., :, None, 0], boxes1[..., :, None, 1]
+    w1, h1 = boxes1[..., :, None, 2], boxes1[..., :, None, 3]
+    x2, y2 = boxes2[..., None, :, 0], boxes2[..., None, :, 1]
+    w2, h2 = boxes2[..., None, :, 2], boxes2[..., None, :, 3]
+    inter_w = jnp.maximum(
+        0.0, jnp.minimum(x1 + w1, x2 + w2) - jnp.maximum(x1, x2))
+    inter_h = jnp.maximum(
+        0.0, jnp.minimum(y1 + h1, y2 + h2) - jnp.maximum(y1, y2))
+    inter = inter_w * inter_h
+    a1, a2 = w1 * h1, w2 * h2
+    if use_iol:
+        return inter / (jnp.maximum(a1, a2) + EPS)
+    return inter / (a1 + a2 - inter + EPS)
+
+
+def pairwise_diou_xywh_topleft(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                               use_iol: bool = False) -> jnp.ndarray:
+    """Pairwise DIoU for top-left (x,y,w,h) boxes (reference nms.py:189-240).
+
+    DIoU = IoU - center_distance^2 / enclosing_diagonal^2.
+    """
+    iou = pairwise_iou_xywh_topleft(boxes1, boxes2, use_iol=use_iol)
+    c1x = boxes1[..., :, None, 0] + boxes1[..., :, None, 2] / 2.0
+    c1y = boxes1[..., :, None, 1] + boxes1[..., :, None, 3] / 2.0
+    c2x = boxes2[..., None, :, 0] + boxes2[..., None, :, 2] / 2.0
+    c2y = boxes2[..., None, :, 1] + boxes2[..., None, :, 3] / 2.0
+    center_dist = (c1x - c2x) ** 2 + (c1y - c2y) ** 2
+    enc_xmin = jnp.minimum(boxes1[..., :, None, 0], boxes2[..., None, :, 0])
+    enc_ymin = jnp.minimum(boxes1[..., :, None, 1], boxes2[..., None, :, 1])
+    enc_xmax = jnp.maximum(boxes1[..., :, None, 0] + boxes1[..., :, None, 2],
+                           boxes2[..., None, :, 0] + boxes2[..., None, :, 2])
+    enc_ymax = jnp.maximum(boxes1[..., :, None, 1] + boxes1[..., :, None, 3],
+                           boxes2[..., None, :, 1] + boxes2[..., None, :, 3])
+    diag = (enc_xmax - enc_xmin) ** 2 + (enc_ymax - enc_ymin) ** 2
+    return iou - center_dist / (diag + EPS)
+
+
+# ---------------------------------------------------------------------------
+# Letterbox coordinate transforms.
+# ---------------------------------------------------------------------------
+
+def letterbox_params(image_hw, target_hw):
+    """Scale + padding offsets for an aspect-preserving letterbox resize.
+
+    Returns ``(scale, pad_x, pad_y, new_w, new_h)`` where the resized content
+    occupies ``[pad_x : pad_x+new_w, pad_y : pad_y+new_h]`` of the target
+    canvas (reference: utils/preprocessing.py:12-50).
+    """
+    ih, iw = image_hw
+    th, tw = target_hw
+    scale = jnp.minimum(tw / iw, th / ih)
+    new_w = jnp.round(iw * scale)
+    new_h = jnp.round(ih * scale)
+    pad_x = (tw - new_w) // 2
+    pad_y = (th - new_h) // 2
+    return scale, pad_x, pad_y, new_w, new_h
+
+
+def undo_letterbox_boxes(boxes_cxcywh_norm: jnp.ndarray, image_hw, model_hw):
+    """Invert the letterbox transform on decoded boxes.
+
+    Maps boxes normalized to the model canvas back to absolute pixel coords of
+    the original image, returning top-left ``(x, y, w, h)`` boxes.  Mirrors
+    the reference ``MultiGridDecoder.correct_boxes``
+    (postprocess/multigrid_decode.py:185-235).
+
+    Args:
+      boxes_cxcywh_norm: ``[..., 4]`` (cx, cy, w, h) in [0,1] model space.
+      image_hw: original image (height, width), python or traced scalars.
+      model_hw: model input (height, width).
+    """
+    box_xy = boxes_cxcywh_norm[..., 0:2]
+    box_wh = boxes_cxcywh_norm[..., 2:4]
+    image_hw = jnp.asarray(image_hw, jnp.float32)
+    model_hw = jnp.asarray(model_hw, jnp.float32)
+    new_shape = jnp.round(image_hw * jnp.min(model_hw / image_hw))
+    offset_hw = (model_hw - new_shape) / 2.0 / model_hw
+    scale_hw = model_hw / new_shape
+    offset = offset_hw[::-1]   # (x, y)
+    scale = scale_hw[::-1]
+    box_xy = (box_xy - offset) * scale
+    box_wh = box_wh * scale
+    box_xy = box_xy - box_wh / 2.0   # top-left corner
+    image_wh = image_hw[::-1]
+    return jnp.concatenate([box_xy * image_wh, box_wh * image_wh], axis=-1)

@@ -1,0 +1,185 @@
+"""Fixed-shape, on-device NMS and box filtering.
+
+The reference runs greedy NMS on the host in NumPy with dynamic shapes
+(/root/reference/multigriddet/postprocess/nms.py).  On TPU under jit we need
+static shapes, so the pipeline is:
+
+  1. confidence mask + ``top_k`` pre-selection to ``pre_nms_top_k`` boxes,
+  2. one pairwise IoU/IoL/DIoU matrix on those boxes,
+  3. a ``fori_loop`` greedy sweep in score order (identical keep-set to the
+     reference's while-loop for standard and DIoU NMS),
+  4. ``top_k`` down to ``max_boxes`` outputs with a validity mask.
+
+NMS variants match reference behavior: standard (IoU), DIoU (optionally with
+IoL as overlap), soft-NMS (gaussian rescoring), cluster-NMS (matrix
+iteration).  All are class-agnostic, matching the reference's
+``handle_predictions`` which never partitions by class
+(multigrid_decode.py:262-302); per-class offsets are available via
+``class_aware=True``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import (pairwise_diou_xywh_topleft, pairwise_iou_xywh_topleft)
+
+NEG_INF = -1e9
+
+
+def _overlap_matrix(boxes, nms_method: str, use_iol: bool):
+    if nms_method == 'diou':
+        return pairwise_diou_xywh_topleft(boxes, boxes, use_iol=use_iol)
+    return pairwise_iou_xywh_topleft(boxes, boxes, use_iol=use_iol)
+
+
+def _greedy_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
+                  nms_threshold: float) -> jnp.ndarray:
+    """Greedy suppression over boxes already sorted by descending score.
+
+    Returns a keep mask.  Row i suppresses row j>i when overlap > threshold —
+    the same keep set the reference's sequential pop-max loop produces.
+    """
+    k = overlap.shape[0]
+
+    def body(i, keep):
+        sup = (overlap[i] > nms_threshold) & keep[i] & valid[i]
+        after = jax.lax.broadcasted_iota(jnp.int32, (k,), 0) > i
+        return keep & ~(sup & after)
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def _soft_nms_sweep(overlap: jnp.ndarray, scores: jnp.ndarray,
+                    valid: jnp.ndarray, sigma: float,
+                    score_floor: float) -> jnp.ndarray:
+    """Gaussian soft-NMS: iteratively decay scores of overlapping boxes.
+
+    Mirrors reference SoftNMS (nms.py:243-320): each round the current best
+    box is fixed and every remaining score is multiplied by
+    ``exp(-iou^2 / sigma)``; boxes falling below ``score_floor`` drop out.
+    Returns the final (decayed) scores with suppressed entries at NEG_INF.
+    """
+    k = overlap.shape[0]
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    def body(_, state):
+        s, done = state
+        cur = jnp.argmax(jnp.where(done, NEG_INF, s))
+        cur_ok = s[cur] > score_floor
+        decay = jnp.exp(-(overlap[cur] ** 2) / sigma)
+        s_new = jnp.where(done | (jax.lax.broadcasted_iota(
+            jnp.int32, (k,), 0) == cur), s, s * decay)
+        done = done | (jax.lax.broadcasted_iota(
+            jnp.int32, (k,), 0) == cur) | ~cur_ok
+        return jnp.where(cur_ok, s_new, s), done
+
+    scores, done = jax.lax.fori_loop(
+        0, k, body, (scores, ~valid))
+    return jnp.where(scores > score_floor, scores, NEG_INF)
+
+
+def _cluster_nms_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
+                       nms_threshold: float) -> jnp.ndarray:
+    """Cluster-NMS (matrix iteration, arXiv:2005.03572) — parallel-friendly.
+
+    Iterates X = triu(overlap); b = (max-col(X ⊙ keep) <= thr) to a fixed
+    point (at most K rounds, typically <5).  Produces the greedy keep set.
+    """
+    k = overlap.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    x = jnp.where((rows < cols) & valid[None, :] & valid[:, None],
+                  overlap, 0.0)
+
+    def body(state):
+        keep_prev, _, it = state
+        maxcol = jnp.max(x * keep_prev[:, None].astype(x.dtype), axis=0)
+        keep = (maxcol <= nms_threshold) & valid
+        return keep, keep_prev, it + 1
+
+    def cond(state):
+        keep, keep_prev, it = state
+        return jnp.any(keep != keep_prev) & (it < k)
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), 0))
+    return keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('max_boxes', 'pre_nms_top_k', 'nms_method', 'use_iol',
+                     'class_aware', 'soft_sigma'))
+def batched_nms(boxes: jnp.ndarray,
+                scores: jnp.ndarray,
+                classes: jnp.ndarray,
+                confidence: float,
+                nms_threshold: float,
+                max_boxes: int = 100,
+                pre_nms_top_k: int = 512,
+                nms_method: str = 'diou',
+                use_iol: bool = True,
+                class_aware: bool = False,
+                soft_sigma: float = 0.5
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Confidence filter + NMS, fixed shapes, batched.
+
+    Args:
+      boxes: ``[B, N, 4]`` top-left (x, y, w, h) in pixels.
+      scores: ``[B, N]`` confidence.
+      classes: ``[B, N]`` int class ids.
+      confidence: score threshold (reference default 0.1).
+      nms_threshold: overlap threshold.
+
+    Returns:
+      (boxes ``[B, max_boxes, 4]``, classes ``[B, max_boxes]``,
+       scores ``[B, max_boxes]``, valid ``[B, max_boxes]`` bool).
+    """
+    def one(bx, sc, cl):
+        sc = jnp.where(sc >= confidence, sc, NEG_INF)
+        k = min(pre_nms_top_k, sc.shape[0])
+        top_sc, idx = jax.lax.top_k(sc, k)
+        top_bx = bx[idx]
+        top_cl = cl[idx]
+        valid = top_sc > NEG_INF / 2
+
+        nms_bx = top_bx
+        if class_aware:
+            # Standard trick: offset boxes per class so cross-class pairs
+            # never overlap.
+            span = (jnp.max(top_bx) + 1.0) * 2.0
+            nms_bx = top_bx.at[:, 0].add(top_cl.astype(jnp.float32) * span)
+
+        if nms_method == 'soft':
+            overlap = _overlap_matrix(nms_bx, 'standard', use_iol)
+            new_sc = _soft_nms_sweep(overlap, top_sc, valid, soft_sigma,
+                                     confidence)
+            keep_sc = new_sc
+        else:
+            if nms_method == 'cluster':
+                overlap = _overlap_matrix(nms_bx, 'standard', use_iol)
+                keep = _cluster_nms_sweep(overlap, valid, nms_threshold)
+            else:  # 'standard' | 'diou'
+                overlap = _overlap_matrix(nms_bx, nms_method, use_iol)
+                keep = _greedy_sweep(overlap, valid, nms_threshold)
+            keep_sc = jnp.where(keep, top_sc, NEG_INF)
+
+        m = min(max_boxes, k)
+        out_sc, out_idx = jax.lax.top_k(keep_sc, m)
+        out_valid = out_sc > NEG_INF / 2
+        out_bx = top_bx[out_idx]
+        out_cl = top_cl[out_idx]
+        if m < max_boxes:
+            pad = max_boxes - m
+            out_bx = jnp.pad(out_bx, ((0, pad), (0, 0)))
+            out_cl = jnp.pad(out_cl, (0, pad))
+            out_sc = jnp.pad(out_sc, (0, pad), constant_values=NEG_INF)
+            out_valid = jnp.pad(out_valid, (0, pad))
+        return out_bx, out_cl, out_sc, out_valid
+
+    return jax.vmap(one)(boxes, scores, classes)

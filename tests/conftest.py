@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the standard JAX pattern for testing multi-device sharding without
+TPU hardware (SURVEY.md §4): force the host platform and split it into 8
+virtual devices before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture(scope='session')
+def coco_anchors():
+    """The reference COCO anchor set (configs/yolov3_coco_anchor.txt)."""
+    return [
+        np.array([[112, 74], [149, 190], [370, 328]], np.float32),
+        np.array([[28, 17], [56, 112], [57, 35]], np.float32),
+        np.array([[9, 10], [13, 28], [28, 55]], np.float32),
+    ]
