@@ -1,0 +1,202 @@
+"""Config -> model / loss / optimizer factories.
+
+TPU-native counterpart of the reference model_builder
+(/root/reference/multigriddet/config/model_builder.py:22-299): extracts the
+~20 loss-scale knobs from ``training.loss``, loss normalization, auto/manual
+class weights, and builds the flax model + LossConfig + optax optimizer.
+Learning-rate priority matches the reference: ``training.learning_rate`` >
+``optimizer.learning_rate`` > 1e-3 (model_builder.py:44-54).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import LossConfig
+from ..models import create_model
+from ..utils.anchors import (class_counts_from_annotations,
+                             compute_class_weights, load_anchors,
+                             load_classes)
+
+
+def model_spec_from_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Resolve the model preset block into constructor arguments."""
+    model_cfg = config.get('model', {}) or {}
+    preset = model_cfg.get('preset', {}) or {}
+    arch = preset.get('architecture', 'multigriddet_darknet')
+    input_shape = tuple(preset.get('input_shape', (608, 608, 3)))
+    num_classes = preset.get('num_classes')
+    classes_path = preset.get('classes_path') or (
+        config.get('data', {}) or {}).get('classes_path')
+    class_names: Optional[List[str]] = None
+    if classes_path:
+        try:
+            class_names = load_classes(classes_path)
+        except OSError:
+            class_names = None
+    if num_classes is None:
+        num_classes = len(class_names) if class_names else 80
+    anchors = load_anchors(preset.get('anchors_path'))
+    return {
+        'architecture': arch,
+        'input_shape': input_shape,
+        'num_classes': int(num_classes),
+        'class_names': class_names,
+        'anchors': anchors,
+        'custom': model_cfg.get('custom'),
+        'mode': model_cfg.get('type', 'preset'),
+    }
+
+
+def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
+                            bn_axis_name: Optional[str] = None):
+    """Instantiate the flax detector from a loaded config.
+
+    Returns (model, spec) where spec carries input shape / classes / anchors.
+    """
+    spec = model_spec_from_config(config)
+    num_anchors = tuple(len(a) for a in spec['anchors'])
+    if spec['mode'] == 'custom' and spec['custom']:
+        from ..models import build_custom
+        custom = spec['custom']
+        model = build_custom(
+            (custom.get('backbone', {}) or {}).get('type', 'darknet53'),
+            (custom.get('head', {}) or {}).get('type', 'multigrid'),
+            num_anchors=num_anchors, num_classes=spec['num_classes'],
+            dtype=dtype, bn_axis_name=bn_axis_name)
+    else:
+        model = create_model(
+            spec['architecture'], num_anchors=num_anchors,
+            num_classes=spec['num_classes'], dtype=dtype,
+            bn_axis_name=bn_axis_name)
+    return model, spec
+
+
+def loss_config_from_config(config: Dict[str, Any]) -> LossConfig:
+    """Extract LossConfig from the ``training`` block
+    (reference model_builder.py:126-151)."""
+    training = config.get('training', {}) or {}
+    loss = training.get('loss', {}) or {}
+    norm = training.get('loss_normalization', ['batch'])
+    if isinstance(norm, str):
+        norm = [norm]
+    iou_type = 'giou'
+    for key, kind in (('use_giou_loss', 'giou'), ('use_diou_loss', 'diou'),
+                      ('use_ciou_loss', 'ciou')):
+        if loss.get(key):
+            iou_type = kind
+    return LossConfig(
+        loss_option=int(training.get('loss_option', 2)),
+        ignore_thresh=float(loss.get('ignore_thresh', 0.5)),
+        coord_scale=float(loss.get('coord_scale', 1.0)),
+        object_scale=float(loss.get('object_scale', 1.0)),
+        no_object_scale=float(loss.get('no_object_scale', 1.0)),
+        class_scale=float(loss.get('class_scale', 1.0)),
+        anchor_scale=float(loss.get('anchor_scale', 1.0)),
+        label_smoothing=float(training.get('label_smoothing', 0.0)),
+        use_focal_loss=bool(loss.get('use_focal_loss', False)),
+        use_softmax_loss=bool(loss.get('use_softmax_loss', False)),
+        iou_loss_type=iou_type,
+        use_iou_aware_objectness=bool(
+            loss.get('use_iou_aware_objectness', False)),
+        iou_objectness_power=float(loss.get('iou_objectness_power', 1.5)),
+        iou_objectness_ratio=float(loss.get('iou_objectness_ratio', 1.0)),
+        trainable_nms_weight=float(loss.get('trainable_nms_weight', 0.0)),
+        trainable_nms_power=float(loss.get('trainable_nms_power', 2.0)),
+        use_consensus_loss=bool(loss.get('use_consensus_loss', False)),
+        consensus_kernel_size=int(loss.get('consensus_kernel_size', 3)),
+        consensus_iou_power=float(loss.get('consensus_iou_power', 1.5)),
+        consensus_min_iou=float(loss.get('consensus_min_iou', 1e-3)),
+        consensus_coord_scale=float(loss.get('consensus_coord_scale', 0.5)),
+        consensus_obj_scale=float(loss.get('consensus_obj_scale', 0.5)),
+        consensus_class_scale=float(loss.get('consensus_class_scale', 0.3)),
+        consensus_stop_gradient=bool(
+            loss.get('consensus_stop_gradient', True)),
+        consensus_center_tolerance=float(
+            loss.get('consensus_center_tolerance', 1e-4)),
+        loss_normalization=tuple(norm),
+    )
+
+
+def class_weights_from_config(config: Dict[str, Any], num_classes: int,
+                              annotation_lines=None
+                              ) -> Optional[np.ndarray]:
+    """'auto' / explicit list / None class weights
+    (reference model_builder.py:154-178)."""
+    training = config.get('training', {}) or {}
+    cw = training.get('class_weights')
+    if cw is None:
+        return None
+    if cw == 'auto':
+        if not annotation_lines:
+            return None
+        counts = class_counts_from_annotations(annotation_lines, num_classes)
+        method = training.get('class_weights_method', 'balanced')
+        return compute_class_weights(counts, method)
+    arr = np.asarray(cw, np.float32)
+    if arr.shape != (num_classes,):
+        raise ValueError(
+            f'class_weights length {arr.shape} != num_classes {num_classes}')
+    return arr
+
+
+def resolve_learning_rate(config: Dict[str, Any]) -> float:
+    training = config.get('training', {}) or {}
+    optimizer = config.get('optimizer', {}) or {}
+    if training.get('learning_rate') is not None:
+        return float(training['learning_rate'])
+    if optimizer.get('learning_rate') is not None:
+        return float(optimizer['learning_rate'])
+    return 1e-3
+
+
+def make_lr_schedule(config: Dict[str, Any], steps_per_epoch: int,
+                     total_epochs: int):
+    """Cosine-annealing-with-warmup or constant schedule.
+
+    The reference's CosineAnnealingWithWarmup callback
+    (trainers/trainer.py:23-100) works per-epoch; here it is a per-step
+    optax schedule.  reduce_on_plateau is handled at the optimizer level by
+    the trainer (it needs the validation signal).
+    """
+    base_lr = resolve_learning_rate(config)
+    sched_cfg = config.get('lr_schedule', {}) or {}
+    kind = sched_cfg.get('type', 'constant')
+    if kind == 'cosine_annealing':
+        warmup_epochs = int(sched_cfg.get('warmup_epochs', 0))
+        warmup_factor = float(sched_cfg.get('warmup_lr_factor', 0.01))
+        min_lr = float(sched_cfg.get('min_lr', 1e-7))
+        warmup_steps = max(warmup_epochs * steps_per_epoch, 0)
+        decay_steps = max(total_epochs * steps_per_epoch - warmup_steps, 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=base_lr * warmup_factor, peak_value=base_lr,
+            warmup_steps=max(warmup_steps, 1), decay_steps=decay_steps
+            + max(warmup_steps, 1), end_value=min_lr)
+    return optax.constant_schedule(base_lr)
+
+
+def create_optimizer_from_config(config: Dict[str, Any],
+                                 learning_rate=None) -> optax.GradientTransformation:
+    """Adam / AdamW / SGD factory (reference model_builder.py:22-99)."""
+    opt_cfg = config.get('optimizer', {}) or {}
+    kind = (opt_cfg.get('type') or 'adam').lower()
+    lr = learning_rate if learning_rate is not None else \
+        resolve_learning_rate(config)
+    if kind == 'adam':
+        return optax.adam(lr, b1=float(opt_cfg.get('beta_1', 0.9)),
+                          b2=float(opt_cfg.get('beta_2', 0.999)),
+                          eps=float(opt_cfg.get('epsilon', 1e-7)))
+    if kind == 'adamw':
+        return optax.adamw(lr, b1=float(opt_cfg.get('beta_1', 0.9)),
+                           b2=float(opt_cfg.get('beta_2', 0.999)),
+                           eps=float(opt_cfg.get('epsilon', 1e-7)),
+                           weight_decay=float(
+                               opt_cfg.get('weight_decay', 5e-4)))
+    if kind == 'sgd':
+        return optax.sgd(lr, momentum=float(opt_cfg.get('momentum', 0.9)),
+                         nesterov=bool(opt_cfg.get('nesterov', True)))
+    raise ValueError(f'unknown optimizer type {kind!r}')

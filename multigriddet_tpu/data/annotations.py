@@ -1,0 +1,115 @@
+"""Annotation parsing and host-side image loading.
+
+The annotation format matches the reference exactly
+(/root/reference/multigriddet/data/generators.py:81-164 and
+data/utils.py:108-127): one line per image,
+``image_path x1,y1,x2,y2,cls x1,y1,x2,y2,cls ...``.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def load_annotation_lines(path: str, shuffle: bool = True,
+                          seed: Optional[int] = None) -> List[str]:
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if shuffle:
+        rng = np.random.RandomState(seed)
+        rng.shuffle(lines)
+    return lines
+
+
+def parse_annotation_line(line: str) -> Tuple[str, np.ndarray]:
+    """Split a line into (image_path, boxes [N,5] float32)."""
+    parts = line.split()
+    path = parts[0]
+    boxes = []
+    for tok in parts[1:]:
+        vals = tok.split(',')
+        if len(vals) == 5:
+            boxes.append([float(v) for v in vals])
+    arr = (np.asarray(boxes, np.float32) if boxes
+           else np.zeros((0, 5), np.float32))
+    return path, arr
+
+
+def letterbox_image(image: Image.Image, target_hw: Tuple[int, int]
+                    ) -> Tuple[np.ndarray, float, int, int]:
+    """Aspect-preserving resize onto a gray canvas.
+
+    Returns (uint8 array [H,W,3], scale, pad_x, pad_y) — the reference
+    letterbox contract (utils/preprocessing.py:12-50).
+    """
+    th, tw = target_hw
+    iw, ih = image.size
+    scale = min(tw / iw, th / ih)
+    nw, nh = int(round(iw * scale)), int(round(ih * scale))
+    pad_x, pad_y = (tw - nw) // 2, (th - nh) // 2
+    resized = image.resize((nw, nh), Image.BICUBIC)
+    canvas = Image.new('RGB', (tw, th), (128, 128, 128))
+    canvas.paste(resized, (pad_x, pad_y))
+    return np.asarray(canvas, np.uint8), scale, pad_x, pad_y
+
+
+def load_and_letterbox(line: str, target_hw: Tuple[int, int],
+                       max_boxes: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode one annotation line to (image [H,W,3] u8, boxes [max_boxes,5]).
+
+    Boxes are letterbox-transformed into canvas pixels and padded/truncated
+    to ``max_boxes`` (truncation here mirrors the reference loader's
+    fixed-capacity padded_batch, generators.py:1971-1981).
+    """
+    path, boxes = parse_annotation_line(line)
+    with Image.open(path) as img:
+        img = img.convert('RGB')
+        arr, scale, pad_x, pad_y = letterbox_image(img, target_hw)
+    out = np.zeros((max_boxes, 5), np.float32)
+    n = min(len(boxes), max_boxes)
+    if n:
+        b = boxes[:n].copy()
+        b[:, [0, 2]] = b[:, [0, 2]] * scale + pad_x
+        b[:, [1, 3]] = b[:, [1, 3]] * scale + pad_y
+        out[:n] = b
+    return arr, out
+
+
+class HostImageLoader:
+    """Thread-pooled image decode + letterbox producing numpy batches.
+
+    Replaces the reference's tf.data/Sequence dual loader
+    (generators.py:1639-1696): the host only decodes and letterboxes;
+    everything else (augmentation, encoding) runs on device.
+    """
+
+    def __init__(self, lines: Sequence[str], target_hw: Tuple[int, int],
+                 max_boxes: int = 100, num_workers: int = 8):
+        self.lines = list(lines)
+        self.target_hw = tuple(target_hw)
+        self.max_boxes = max_boxes
+        self.pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def load_batch(self, batch_lines: Sequence[str],
+                   target_hw: Optional[Tuple[int, int]] = None):
+        hw = target_hw or self.target_hw
+
+        def safe(line):
+            try:
+                return load_and_letterbox(line, hw, self.max_boxes)
+            except (OSError, ValueError):
+                return (np.full((*hw, 3), 128, np.uint8),
+                        np.zeros((self.max_boxes, 5), np.float32))
+
+        results = list(self.pool.map(safe, batch_lines))
+        images = np.stack([r[0] for r in results])
+        boxes = np.stack([r[1] for r in results])
+        return images, boxes
+
+    def close(self):
+        self.pool.shutdown(wait=False)

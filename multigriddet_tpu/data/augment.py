@@ -1,0 +1,380 @@
+"""On-device, batched image + box augmentation (pure JAX, fixed shapes).
+
+TPU-native redesign of the reference's TF-graph augmentation stack
+(/root/reference/multigriddet/data/generators.py:167-1282 and the PIL twin
+in data/augmentation.py): every op is a pure function
+``(key, images, boxes) -> (images, boxes)`` over a whole batch with static
+shapes, so the entire augmentation chain + target encoding jits into ONE
+XLA program that runs on the accelerator — this is where the >=5x
+samples/sec target over the reference's host pipeline comes from
+(SURVEY.md §6).
+
+Conventions:
+* images: ``[B, H, W, 3]`` float32 in [0, 255].
+* boxes: ``[B, N, 5]`` ``(x1, y1, x2, y2, class)`` absolute pixels; zero
+  rows are padding.  Capacity N is fixed; ops never drop capacity, they
+  zero-out boxes that die (clip/min-size), exactly like the reference's
+  fixed-capacity discipline (generators.py:1492-1556).
+* randomness: explicit ``jax.random`` keys, split per-image inside.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+GRAY_FILL = 128.0
+MIN_BOX_PX = 3.0
+
+
+def _valid(boxes: jnp.ndarray) -> jnp.ndarray:
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    return (w > 0) & (h > 0)
+
+
+def _zero_dead(boxes: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(alive[..., None], boxes, 0.0)
+
+
+def _clip_filter(boxes: jnp.ndarray, w: float, h: float,
+                 min_px: float = MIN_BOX_PX) -> jnp.ndarray:
+    """Clip boxes to the canvas and kill those below the min pixel size."""
+    was_valid = _valid(boxes)
+    x1 = jnp.clip(boxes[..., 0], 0.0, w)
+    y1 = jnp.clip(boxes[..., 1], 0.0, h)
+    x2 = jnp.clip(boxes[..., 2], 0.0, w)
+    y2 = jnp.clip(boxes[..., 3], 0.0, h)
+    out = jnp.stack([x1, y1, x2, y2, boxes[..., 4]], axis=-1)
+    alive = was_valid & ((x2 - x1) >= min_px) & ((y2 - y1) >= min_px)
+    return _zero_dead(out, alive)
+
+
+# ---------------------------------------------------------------------------
+# Photometric ops (match the reference's [0,255]-domain TF ops,
+# generators.py:260-344).
+# ---------------------------------------------------------------------------
+
+def random_brightness(key, images, boxes, max_delta=0.2, prob=0.5):
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
+    delta = jax.random.uniform(
+        k2, (b, 1, 1, 1), minval=-max_delta, maxval=max_delta) * 255.0
+    out = jnp.clip(images + jnp.where(apply, delta, 0.0), 0.0, 255.0)
+    return out, boxes
+
+
+def random_contrast(key, images, boxes, lower=0.8, upper=1.2, prob=0.5):
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
+    factor = jax.random.uniform(k2, (b, 1, 1, 1), minval=lower, maxval=upper)
+    mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+    out = jnp.where(apply, (images - mean) * factor + mean, images)
+    return jnp.clip(out, 0.0, 255.0), boxes
+
+
+def random_saturation(key, images, boxes, lower=0.8, upper=1.2, prob=0.5):
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
+    factor = jax.random.uniform(k2, (b, 1, 1, 1), minval=lower, maxval=upper)
+    gray = jnp.mean(images, axis=-1, keepdims=True)
+    out = jnp.where(apply, gray + (images - gray) * factor, images)
+    return jnp.clip(out, 0.0, 255.0), boxes
+
+
+def random_hue(key, images, boxes, max_delta=0.1, prob=0.5):
+    """Cheap hue jitter: rotate RGB channels toward their mean.
+
+    Full HSV round-trips are expensive on the VPU; this matches the visual
+    effect of the reference's +-0.1 hue jitter closely enough for training.
+    """
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
+    theta = jax.random.uniform(
+        k2, (b, 1, 1, 1), minval=-max_delta, maxval=max_delta) * jnp.pi
+    # rotate channels around the luma axis (approximate YIQ hue rotation)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    r, g, bl = images[..., 0:1], images[..., 1:2], images[..., 2:3]
+    y = 0.299 * r + 0.587 * g + 0.114 * bl
+    i = 0.596 * r - 0.274 * g - 0.322 * bl
+    q = 0.211 * r - 0.523 * g + 0.312 * bl
+    i2 = i * cos_t - q * sin_t
+    q2 = i * sin_t + q * cos_t
+    r2 = y + 0.956 * i2 + 0.621 * q2
+    g2 = y - 0.272 * i2 - 0.647 * q2
+    b2 = y - 1.106 * i2 + 1.703 * q2
+    rotated = jnp.concatenate([r2, g2, b2], axis=-1)
+    out = jnp.where(apply, rotated, images)
+    return jnp.clip(out, 0.0, 255.0), boxes
+
+
+def random_grayscale(key, images, boxes, prob=0.1):
+    b = images.shape[0]
+    apply = jax.random.uniform(key, (b, 1, 1, 1)) < prob
+    gray = (0.299 * images[..., 0:1] + 0.587 * images[..., 1:2]
+            + 0.114 * images[..., 2:3])
+    out = jnp.where(apply, jnp.broadcast_to(gray, images.shape), images)
+    return out, boxes
+
+
+# ---------------------------------------------------------------------------
+# Geometric ops.
+# ---------------------------------------------------------------------------
+
+def random_hflip(key, images, boxes, prob=0.5):
+    """Horizontal flip + box transform (reference generators.py:227-257)."""
+    b, _, w, _ = images.shape
+    apply = jax.random.uniform(key, (b,)) < prob
+    flipped = images[:, :, ::-1, :]
+    out = jnp.where(apply[:, None, None, None], flipped, images)
+    x1 = jnp.where(apply[:, None], w - boxes[..., 2], boxes[..., 0])
+    x2 = jnp.where(apply[:, None], w - boxes[..., 0], boxes[..., 2])
+    new_boxes = jnp.stack(
+        [x1, boxes[..., 1], x2, boxes[..., 3], boxes[..., 4]], axis=-1)
+    new_boxes = _zero_dead(new_boxes, _valid(boxes))
+    return out, new_boxes
+
+
+def random_vflip(key, images, boxes, prob=0.2):
+    b, h, _, _ = images.shape
+    apply = jax.random.uniform(key, (b,)) < prob
+    flipped = images[:, ::-1, :, :]
+    out = jnp.where(apply[:, None, None, None], flipped, images)
+    y1 = jnp.where(apply[:, None], h - boxes[..., 3], boxes[..., 1])
+    y2 = jnp.where(apply[:, None], h - boxes[..., 1], boxes[..., 3])
+    new_boxes = jnp.stack(
+        [boxes[..., 0], y1, boxes[..., 2], y2, boxes[..., 4]], axis=-1)
+    new_boxes = _zero_dead(new_boxes, _valid(boxes))
+    return out, new_boxes
+
+
+def random_rotate90(key, images, boxes, prob=0.05):
+    """Rotate by a random multiple of 90 degrees (reference rotates only in
+    90-degree steps in its TF path, generators.py:465-558).  Assumes a
+    square canvas (letterboxed inputs are square)."""
+    b, h, w, _ = images.shape
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    rot = jnp.where(apply, jax.random.randint(k2, (b,), 1, 4), 0)
+
+    def rotate_one(img, bx, k):
+        def r0(_):
+            return img, bx
+        def r90(_):  # counter-clockwise: (x,y)->(y, w-x)
+            im = jnp.rot90(img, k=1, axes=(0, 1))
+            x1, y1, x2, y2 = bx[..., 0], bx[..., 1], bx[..., 2], bx[..., 3]
+            nb = jnp.stack([y1, w - x2, y2, w - x1, bx[..., 4]], -1)
+            return im, nb
+        def r180(_):
+            im = jnp.rot90(img, k=2, axes=(0, 1))
+            x1, y1, x2, y2 = bx[..., 0], bx[..., 1], bx[..., 2], bx[..., 3]
+            nb = jnp.stack([w - x2, h - y2, w - x1, h - y1, bx[..., 4]], -1)
+            return im, nb
+        def r270(_):
+            im = jnp.rot90(img, k=3, axes=(0, 1))
+            x1, y1, x2, y2 = bx[..., 0], bx[..., 1], bx[..., 2], bx[..., 3]
+            nb = jnp.stack([h - y2, x1, h - y1, x2, bx[..., 4]], -1)
+            return im, nb
+        return jax.lax.switch(k, [r0, r90, r180, r270], None)
+
+    out_img, out_box = jax.vmap(rotate_one)(images, boxes, rot)
+    out_box = _zero_dead(out_box, _valid(boxes))
+    return out_img, out_box
+
+
+def random_resize_crop_pad(key, images, boxes, scale_range=(0.7, 1.3),
+                           aspect_range=(0.75, 1.333), prob=1.0):
+    """Random zoom + aspect jitter + random placement with gray fill.
+
+    On-device equivalent of the reference's tf_random_resize_crop_pad
+    (generators.py:347-462): content is rescaled by (sx, sy) and shifted to
+    a random position; areas outside the source are filled with gray 128.
+    Implemented with ``jax.image.scale_and_translate`` vmapped per image.
+    """
+    b, h, w, _ = images.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    scale = jax.random.uniform(
+        k2, (b,), minval=scale_range[0], maxval=scale_range[1])
+    aspect = jax.random.uniform(
+        k3, (b,), minval=aspect_range[0], maxval=aspect_range[1])
+    sx = jnp.where(apply, scale * jnp.sqrt(aspect), 1.0)
+    sy = jnp.where(apply, scale / jnp.sqrt(aspect), 1.0)
+    # random placement: content spans [t, t + s*dim); keep at least 50%
+    # of the canvas covered when zoomed in/out
+    max_tx = jnp.maximum(w - sx * w, 0.0) + 0.25 * w
+    max_ty = jnp.maximum(h - sy * h, 0.0) + 0.25 * h
+    u = jax.random.uniform(k4, (b, 2))
+    tx = jnp.where(apply, u[:, 0] * max_tx - 0.125 * w, 0.0)
+    ty = jnp.where(apply, u[:, 1] * max_ty - 0.125 * h, 0.0)
+
+    def one(img, s_x, s_y, t_x, t_y):
+        return jax.image.scale_and_translate(
+            img - GRAY_FILL, (h, w, 3), (0, 1),
+            jnp.stack([s_y, s_x]), jnp.stack([t_y, t_x]),
+            method='linear') + GRAY_FILL
+
+    out = jax.vmap(one)(images, sx, sy, tx, ty)
+    out = jnp.clip(out, 0.0, 255.0)
+
+    x1 = boxes[..., 0] * sx[:, None] + tx[:, None]
+    x2 = boxes[..., 2] * sx[:, None] + tx[:, None]
+    y1 = boxes[..., 1] * sy[:, None] + ty[:, None]
+    y2 = boxes[..., 3] * sy[:, None] + ty[:, None]
+    new_boxes = jnp.stack([x1, y1, x2, y2, boxes[..., 4]], axis=-1)
+    new_boxes = _zero_dead(new_boxes, _valid(boxes))
+    return out, _clip_filter(new_boxes, w, h)
+
+
+# ---------------------------------------------------------------------------
+# GridMask (reference generators.py:1164-1282): zero out a regular grid of
+# squares; keep boxes whose visible fraction stays above `min_visible`.
+# ---------------------------------------------------------------------------
+
+def _integral_image(mask: jnp.ndarray) -> jnp.ndarray:
+    """Summed-area table with a zero top/left border: [H+1, W+1]."""
+    s = jnp.cumsum(jnp.cumsum(mask, axis=0), axis=1)
+    return jnp.pad(s, ((1, 0), (1, 0)))
+
+
+def random_gridmask(key, images, boxes, prob=0.1, ratio=0.5,
+                    d_range=(40, 120), min_visible=0.3):
+    b, h, w, _ = images.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    d = jax.random.randint(k2, (b,), d_range[0], d_range[1] + 1)
+    off = jax.random.randint(k3, (b, 2), 0, d_range[1])
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def one(img, bx, ap, dd, oo):
+        hole = jnp.asarray(dd, jnp.float32) * ratio
+        in_hole = ((((ys + oo[0]) % dd) < hole)
+                   & (((xs + oo[1]) % dd) < hole))
+        keep = jnp.where(ap, 1.0 - in_hole.astype(jnp.float32),
+                         jnp.ones((h, w), jnp.float32))
+        out = img * keep[..., None] + GRAY_FILL * (1.0 - keep[..., None])
+        # box survival: visible fraction via summed-area table
+        sat = _integral_image(keep)
+        x1 = jnp.clip(bx[:, 0].astype(jnp.int32), 0, w)
+        y1 = jnp.clip(bx[:, 1].astype(jnp.int32), 0, h)
+        x2 = jnp.clip(bx[:, 2].astype(jnp.int32), 0, w)
+        y2 = jnp.clip(bx[:, 3].astype(jnp.int32), 0, h)
+        vis = (sat[y2, x2] - sat[y1, x2] - sat[y2, x1] + sat[y1, x1])
+        area = jnp.maximum((x2 - x1) * (y2 - y1), 1).astype(jnp.float32)
+        alive = _valid(bx) & ((vis / area) >= min_visible)
+        return out, _zero_dead(bx, alive)
+
+    return jax.vmap(one)(images, boxes, apply, d, off)
+
+
+# ---------------------------------------------------------------------------
+# Batch-level composites: Mosaic and MixUp.
+# ---------------------------------------------------------------------------
+
+def random_mosaic(key, images, boxes, prob=0.3, center_range=(0.3, 0.7)):
+    """4-image mosaic (reference tf_random_mosaic, generators.py:561-1009).
+
+    Each output image composites 4 batch neighbors (i, i+1, i+2, i+3 mod B)
+    into quadrants split at a random center point; each source is rescaled
+    to its quadrant, boxes transformed + clip-filtered.  Box capacity must
+    already be expanded (x4) by the caller — mosaic concatenates the four
+    quadrants' boxes into the fixed-capacity output by slot.
+    """
+    b, h, w, _ = images.shape
+    n = boxes.shape[1]
+    cap = n // 4
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    cxy = jax.random.uniform(
+        k2, (b, 2), minval=center_range[0], maxval=center_range[1])
+    cx = cxy[:, 0] * w
+    cy = cxy[:, 1] * h
+
+    src = [images, jnp.roll(images, -1, 0), jnp.roll(images, -2, 0),
+           jnp.roll(images, -3, 0)]
+    src_boxes = [boxes, jnp.roll(boxes, -1, 0), jnp.roll(boxes, -2, 0),
+                 jnp.roll(boxes, -3, 0)]
+
+    def one(imgs4, boxes4, c_x, c_y, ap):
+        # quadrant corners: (x0, y0, x1, y1) of each region
+        quads = [(0.0, 0.0, c_x, c_y), (c_x, 0.0, float(w), c_y),
+                 (0.0, c_y, c_x, float(h)), (c_x, c_y, float(w), float(h))]
+        out = jnp.zeros((h, w, 3), jnp.float32)
+        out_boxes = []
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        for q, (x0, y0, x1, y1) in enumerate(quads):
+            s_x = (x1 - x0) / w
+            s_y = (y1 - y0) / h
+            scaled = jax.image.scale_and_translate(
+                imgs4[q] - GRAY_FILL, (h, w, 3), (0, 1),
+                jnp.stack([s_y, s_x]), jnp.stack([y0, x0]),
+                method='linear') + GRAY_FILL
+            in_q = ((xs >= x0) & (xs < x1) & (ys >= y0)
+                    & (ys < y1))[..., None]
+            out = jnp.where(in_q, scaled, out)
+            bq = boxes4[q]
+            nx1 = bq[:, 0] * s_x + x0
+            nx2 = bq[:, 2] * s_x + x0
+            ny1 = bq[:, 1] * s_y + y0
+            ny2 = bq[:, 3] * s_y + y0
+            nb = jnp.stack([jnp.clip(nx1, x0, x1), jnp.clip(ny1, y0, y1),
+                            jnp.clip(nx2, x0, x1), jnp.clip(ny2, y0, y1),
+                            bq[:, 4]], axis=-1)
+            # min-size filter: max(10px, 3% of short quadrant side)
+            min_sz = jnp.maximum(10.0, 0.03 * jnp.minimum(x1 - x0, y1 - y0))
+            alive = (_valid(bq) & ((nb[:, 2] - nb[:, 0]) >= min_sz)
+                     & ((nb[:, 3] - nb[:, 1]) >= min_sz))
+            out_boxes.append(_zero_dead(nb, alive)[:cap])
+        out_boxes = jnp.concatenate(out_boxes, axis=0)
+        out_boxes = jnp.pad(out_boxes, ((0, n - 4 * cap), (0, 0)))
+        return out, out_boxes
+
+    m_img, m_box = jax.vmap(one)(
+        jnp.stack(src, 1), jnp.stack(src_boxes, 1), cx, cy, apply)
+    out_img = jnp.where(apply[:, None, None, None], m_img, images)
+    out_box = jnp.where(apply[:, None, None], m_box, boxes)
+    return out_img, out_box
+
+
+def random_mixup(key, images, boxes, prob=0.1, alpha_range=(0.2, 0.8)):
+    """Pairwise MixUp with the rolled batch (reference generators.py:
+    1012-1161): blend with lambda in [0.2, 0.8], concatenate box lists.
+    Capacity must be pre-expanded (x2)."""
+    b = images.shape[0]
+    n = boxes.shape[1]
+    half = n // 2
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    lam = jax.random.uniform(
+        k2, (b, 1, 1, 1), minval=alpha_range[0], maxval=alpha_range[1])
+    other = jnp.roll(images, -1, 0)
+    other_boxes = jnp.roll(boxes, -1, 0)
+    mixed = images * lam + other * (1.0 - lam)
+    merged = jnp.concatenate([boxes[:, :half], other_boxes[:, :half]], axis=1)
+    merged = jnp.pad(merged, ((0, 0), (0, n - 2 * half), (0, 0)))
+    out_img = jnp.where(apply[:, None, None, None], mixed, images)
+    out_box = jnp.where(apply[:, None, None], merged, boxes)
+    return out_img, out_box
+
+
+def expand_box_capacity(boxes: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Pad the box axis by ``factor``x (reference generators.py:1983-2034)."""
+    if factor <= 1:
+        return boxes
+    b, n, c = boxes.shape
+    return jnp.pad(boxes, ((0, 0), (0, n * (factor - 1)), (0, 0)))
+
+
+def normalize_images(images: jnp.ndarray) -> jnp.ndarray:
+    """[0,255] -> [0,1] at the end of the chain (generators.py:212-224)."""
+    return images / 255.0

@@ -1,0 +1,425 @@
+"""MultiGridDet composite loss — one jitted pure function, fully vectorized.
+
+Behavioral re-implementation of the reference MultiGridLoss
+(/root/reference/multigriddet/losses/multigrid_loss.py:20-1064) designed for
+XLA: no ``map_fn``, no dynamic shapes, no per-batch Python loops.  The
+reference's per-image ignore-mask ``tf.map_fn`` (its loss hot spot,
+multigrid_loss.py:494-703) becomes a fixed-capacity batched IoU against GT
+boxes recovered from the target grids' center cells.
+
+Loss structure (multigrid_loss.py:233-443):
+  total = coord_scale * L_loc + object_scale * L_obj
+        + anchor_scale * L_anchor + class_scale * L_class
+        [+ consensus_{coord,obj,class}_scale * consensus terms]
+
+* Option 1: masked MSE on (activated xy, log wh).
+* Option 2: option 1 + BCE anchor-prediction loss on positive cells
+  (the recommended MultiGridDet configuration).
+* Option 3: GIoU/DIoU/CIoU on decoded grid-unit boxes.  (The reference
+  feeds raw logits into its IoU losses and its mask broadcast only works
+  for square grids; here boxes are decoded first — see SURVEY.md §7.)
+* Objectness: BCE-from-logits over all cells with object/no-object scales,
+  ignore mask, optional IoU-aware soft targets ("trainable NMS").
+* Class: BCE (label smoothing, per-class weights) or sigmoid/softmax focal.
+* Consensus: IoL^p-weighted variance of predictions across the 3x3 cells
+  that decode to the same GT center (multigrid_loss.py:941-1043).
+
+Every component is also returned in a metrics dict, replacing the
+reference's probe_multigrid_loss diagnostic subclass with a first-class API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.decode import xy_activation
+from .focal import (binary_cross_entropy_with_logits, sigmoid_focal_loss,
+                    softmax_focal_loss)
+from .iou import iou_family_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Static loss configuration (hashable; safe as a jit static arg).
+
+    Field defaults follow the reference's MultiGridLoss constructor and
+    configs/train_config.yaml.example.
+    """
+
+    loss_option: int = 2
+    ignore_thresh: float = 0.5
+    coord_scale: float = 1.0
+    object_scale: float = 1.0
+    no_object_scale: float = 1.0
+    class_scale: float = 1.0
+    anchor_scale: float = 1.0
+    label_smoothing: float = 0.0
+    use_focal_loss: bool = False
+    use_softmax_loss: bool = False
+    iou_loss_type: str = 'giou'          # option-3 metric: giou|diou|ciou
+    use_iou_aware_objectness: bool = False
+    iou_objectness_power: float = 1.5
+    iou_objectness_ratio: float = 1.0
+    trainable_nms_weight: float = 0.0
+    trainable_nms_power: float = 2.0
+    use_consensus_loss: bool = False
+    consensus_kernel_size: int = 3
+    consensus_iou_power: float = 1.5
+    consensus_min_iou: float = 1e-3
+    consensus_coord_scale: float = 0.5
+    consensus_obj_scale: float = 0.5
+    consensus_class_scale: float = 0.3
+    consensus_stop_gradient: bool = True
+    consensus_center_tolerance: float = 1e-4
+    loss_normalization: Tuple[str, ...] = ('batch',)
+    max_gt_boxes: int = 64               # fixed GT capacity for ignore mask
+    legacy_wh_scale: bool = False        # replicate reference stride-inflated
+                                         # wh in the ignore-mask IoU
+    eps: float = 1e-7
+
+
+def _norm_factor(cfg: LossConfig, batch: int, gh: int, gw: int,
+                 object_mask: jnp.ndarray) -> jnp.ndarray:
+    """Reference _get_normalization_factor (multigrid_loss.py:194-231)."""
+    factor = jnp.asarray(1.0, jnp.float32)
+    for kind in cfg.loss_normalization:
+        if kind == 'batch':
+            factor = factor * batch
+        elif kind == 'grid':
+            factor = factor * (batch * gh * gw)
+        elif kind == 'positives':
+            factor = factor * jnp.maximum(jnp.sum(object_mask), 1.0)
+    return jnp.maximum(factor, 1.0)
+
+
+def _patches(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Extract k*k SAME-padded neighborhoods: [B,H,W,C] -> [B,H,W,k*k,C].
+
+    Static-shape equivalent of tf.image.extract_patches
+    (multigrid_loss.py:456-471) built from shifted pads, which XLA fuses.
+    """
+    r = k // 2
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    shifts = [xp[:, dy:dy + h, dx:dx + w, :]
+              for dy in range(k) for dx in range(k)]
+    return jnp.stack(shifts, axis=3)
+
+
+def _center_gt_boxes(y_true: jnp.ndarray, anchors: jnp.ndarray,
+                     stride_hw: Tuple[float, float], max_boxes: int,
+                     legacy_wh_scale: bool):
+    """Recover the unique GT box set from center cells, fixed capacity.
+
+    All <=9 cells of one GT decode to the same absolute box (the 9-cell
+    alignment invariant), so selecting cells whose stored offsets lie in
+    [0,1) yields each GT exactly once.  Replaces the reference's dynamic
+    ``tf.where`` gather + ``map_fn`` (multigrid_loss.py:574-652).
+
+    Returns (boxes [B,G,4] cxcywh in canvas pixels, mask [B,G]).
+    """
+    b, gh, gw, _ = y_true.shape
+    sh, sw = stride_hw
+    na = anchors.shape[0]
+    txy = y_true[..., 0:2]
+    obj = y_true[..., 4]
+    is_center = ((txy[..., 0] >= 0.0) & (txy[..., 0] < 1.0)
+                 & (txy[..., 1] >= 0.0) & (txy[..., 1] < 1.0) & (obj > 0.5))
+    cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+    cx = (txy[..., 0] + cols) * sw
+    cy = (txy[..., 1] + rows) * sh
+    sel = jnp.argmax(y_true[..., 5:5 + na], axis=-1)
+    wh = jnp.exp(y_true[..., 2:4]) * anchors[sel]
+    if legacy_wh_scale:
+        wh = wh * jnp.asarray([sw, sh], jnp.float32)
+    flat = jnp.concatenate(
+        [cx[..., None], cy[..., None], wh], axis=-1).reshape(b, -1, 4)
+    score = is_center.astype(jnp.float32).reshape(b, -1)
+    k = min(max_boxes, score.shape[1])
+    top, idx = jax.lax.top_k(score, k)
+    boxes = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return boxes, top > 0.5
+
+
+def _pairwise_iou_cxcywh(a: jnp.ndarray, b: jnp.ndarray,
+                         b_mask: jnp.ndarray) -> jnp.ndarray:
+    """IoU between [B,N,4] and [B,G,4] cxcywh boxes -> [B,N,G] (masked)."""
+    a_min = a[..., 0:2] - a[..., 2:4] / 2.0
+    a_max = a[..., 0:2] + a[..., 2:4] / 2.0
+    b_min = b[..., 0:2] - b[..., 2:4] / 2.0
+    b_max = b[..., 0:2] + b[..., 2:4] / 2.0
+    i_min = jnp.maximum(a_min[:, :, None, :], b_min[:, None, :, :])
+    i_max = jnp.minimum(a_max[:, :, None, :], b_max[:, None, :, :])
+    i_wh = jnp.maximum(i_max - i_min, 0.0)
+    inter = i_wh[..., 0] * i_wh[..., 1]
+    a_area = (a[..., 2] * a[..., 3])[:, :, None]
+    b_area = (b[..., 2] * b[..., 3])[:, None, :]
+    iou = inter / (a_area + b_area - inter + 1e-7)
+    return jnp.where(b_mask[:, None, :], iou, 0.0)
+
+
+def _ignore_mask(cfg: LossConfig, pred_xy, pred_wh, y_true, anchors,
+                 object_mask, stride_hw):
+    """Vectorized ignore mask (reference multigrid_loss.py:494-703).
+
+    Returns (ignore_mask [B,gh,gw,1], assigned_anchor_iou [B,gh,gw,1],
+    max_iou_map [B,gh,gw,1]) — the latter two stop-gradiented.
+    """
+    b, gh, gw, _ = pred_xy.shape
+    na = anchors.shape[0]
+    sh, sw = stride_hw
+
+    gt_boxes, gt_mask = _center_gt_boxes(
+        y_true, anchors, stride_hw, cfg.max_gt_boxes, cfg.legacy_wh_scale)
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+    pxy = xy_activation(pred_xy)
+    px = (pxy[..., 0] + cols) * sw
+    py = (pxy[..., 1] + rows) * sh
+    # Per-anchor predicted wh: [B,gh,gw,A,2]
+    pwh = jnp.exp(pred_wh)[..., None, :] * anchors[None, None, None]
+    if cfg.legacy_wh_scale:
+        pwh = pwh * jnp.asarray([sw, sh], jnp.float32)
+    pxy_b = jnp.broadcast_to(
+        jnp.stack([px, py], axis=-1)[..., None, :], pwh.shape)
+    pred_boxes = jnp.concatenate([pxy_b, pwh], axis=-1).reshape(b, -1, 4)
+
+    iou = _pairwise_iou_cxcywh(pred_boxes, gt_boxes, gt_mask)  # [B,N*A,G]
+    iou_all = jnp.max(iou, axis=-1).reshape(b, gh, gw, na)
+
+    max_iou = jnp.max(iou_all, axis=-1, keepdims=True)
+    ignore = ((max_iou > cfg.ignore_thresh)
+              & (object_mask < 0.5)).astype(jnp.float32)
+    true_anchor_onehot = y_true[..., 5:5 + na]
+    assigned = jnp.sum(iou_all * true_anchor_onehot, axis=-1, keepdims=True)
+    assigned = jax.lax.stop_gradient(assigned * object_mask)
+    return ignore, assigned, jax.lax.stop_gradient(max_iou)
+
+
+def _consensus_losses(cfg: LossConfig, pred_xy, pred_wh, pred_obj,
+                      pred_class, true_xy, object_mask, assigned_iou):
+    """Variance consensus over same-center 3x3 groups
+    (reference multigrid_loss.py:473-550)."""
+    k = cfg.consensus_kernel_size
+    b, gh, gw, _ = pred_xy.shape
+    num_classes = pred_class.shape[-1]
+
+    center_x = (true_xy[..., 0] >= 0.0) & (true_xy[..., 0] < 1.0)
+    center_y = (true_xy[..., 1] >= 0.0) & (true_xy[..., 1] < 1.0)
+    center_mask = (center_x & center_y).astype(
+        jnp.float32)[..., None] * object_mask
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+    grid = jnp.stack([cols, rows], axis=-1)[None]
+    true_centers = true_xy + grid
+
+    mask_p = _patches(object_mask, k)
+    iou_p = _patches(assigned_iou, k)
+    center_p = _patches(true_centers, k)
+
+    same_center = (jnp.max(jnp.abs(center_p - true_centers[:, :, :, None]),
+                           axis=-1, keepdims=True)
+                   < cfg.consensus_center_tolerance).astype(jnp.float32)
+    group = mask_p * same_center * center_mask[:, :, :, None]
+
+    valid_w = jnp.where(group > 0.0,
+                        jnp.maximum(iou_p, cfg.consensus_min_iou), 0.0)
+    raw_w = jnp.power(valid_w, cfg.consensus_iou_power) * group
+    w = raw_w / (jnp.sum(raw_w, axis=3, keepdims=True) + cfg.eps)
+    w_s = w[..., 0]
+
+    normalizer = jnp.maximum(jnp.sum(center_mask), 1.0)
+
+    def variance(x):
+        """Squared deviation of each patch member from the weighted
+        consensus value: [B,gh,gw,k*k,C]."""
+        xp = _patches(x, k)
+        consensus = jnp.sum(w * xp, axis=3)
+        if cfg.consensus_stop_gradient:
+            consensus = jax.lax.stop_gradient(consensus)
+        return jnp.square(xp - consensus[:, :, :, None])
+
+    box = jnp.concatenate([pred_xy, pred_wh], axis=-1)
+    box_d2 = jnp.sum(variance(box), axis=-1)
+    coord_var = jnp.sum(w_s * box_d2) / normalizer
+
+    obj_d2 = variance(jax.nn.sigmoid(pred_obj))[..., 0]
+    obj_var = jnp.sum(w_s * obj_d2) / normalizer
+
+    cls_d2 = variance(jax.nn.sigmoid(pred_class))
+    cls_var = jnp.sum(w_s[..., None] * cls_d2) / (normalizer * num_classes)
+
+    return coord_var, obj_var, cls_var
+
+
+def multigrid_loss(y_pred: Sequence[jnp.ndarray],
+                   y_true: Sequence[jnp.ndarray],
+                   anchors: Sequence[np.ndarray],
+                   num_classes: int,
+                   input_hw: Tuple[int, int],
+                   cfg: LossConfig = LossConfig(),
+                   class_weights: Optional[jnp.ndarray] = None
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Compute the MultiGridDet loss over all scales.
+
+    Args:
+      y_pred: per-scale raw logits ``[B, gh, gw, 5 + A_l + C]``.
+      y_true: per-scale targets, same layout, already activated.
+      anchors: per-layer ``[A_l, 2]`` anchor arrays (canvas pixels).
+      num_classes: C.
+      input_hw: model canvas (h, w).
+      cfg: static LossConfig.
+      class_weights: optional ``[C]`` per-class weights (default ones).
+
+    Returns:
+      (scalar total loss, metrics dict with per-component breakdown).
+    """
+    batch = y_pred[0].shape[0]
+    if class_weights is None:
+        class_weights = jnp.ones((num_classes,), jnp.float32)
+    cw = class_weights.reshape(1, 1, 1, num_classes)
+
+    totals = {k: jnp.zeros((), jnp.float32) for k in (
+        'location', 'objectness', 'anchor', 'classification',
+        'consensus_coord', 'consensus_obj', 'consensus_class')}
+    num_pos_total = jnp.zeros((), jnp.float32)
+
+    for l, (pred, true) in enumerate(zip(y_pred, y_true)):
+        pred = pred.astype(jnp.float32)
+        true = true.astype(jnp.float32)
+        anc = jnp.asarray(anchors[l], jnp.float32)
+        na = anc.shape[0]
+        _, gh, gw, _ = pred.shape
+        stride_hw = (input_hw[0] / gh, input_hw[1] / gw)
+
+        pred_xy, pred_wh = pred[..., 0:2], pred[..., 2:4]
+        pred_obj = pred[..., 4:5]
+        pred_anchor = pred[..., 5:5 + na]
+        pred_class = pred[..., 5 + na:]
+        true_xy, true_wh = true[..., 0:2], true[..., 2:4]
+        true_obj = true[..., 4:5]
+        true_anchor = true[..., 5:5 + na]
+        true_class = true[..., 5 + na:]
+
+        object_mask = (true_obj > 0.5).astype(jnp.float32)
+        num_pos_total += jnp.sum(object_mask)
+        norm = _norm_factor(cfg, batch, gh, gw, object_mask)
+
+        ignore, assigned_iou, max_iou = _ignore_mask(
+            cfg, pred_xy, pred_wh, true, anc, object_mask, stride_hw)
+
+        # -------- localization --------
+        if cfg.loss_option in (1, 2):
+            pxy = xy_activation(pred_xy)
+            xy_l = jnp.sum(jnp.square(true_xy - pxy), -1, keepdims=True)
+            wh_l = jnp.sum(jnp.square(true_wh - pred_wh), -1, keepdims=True)
+            loc = jnp.sum((xy_l + wh_l) * object_mask) / norm
+        else:
+            # Decode both sides to grid-unit boxes; the shared cell offset
+            # cancels, anchors come from the GT one-hot.
+            sel = jnp.argmax(true_anchor, axis=-1)
+            anc_wh = anc[sel] / jnp.asarray(
+                [input_hw[1] / gw, input_hw[0] / gh], jnp.float32)
+            p_box_xy = xy_activation(pred_xy)
+            p_box_wh = jnp.exp(pred_wh) * anc_wh
+            t_box_wh = jnp.exp(true_wh) * anc_wh
+            loc = iou_family_loss(
+                cfg.iou_loss_type, true_xy, t_box_wh, p_box_xy, p_box_wh,
+                object_mask) / norm
+        totals['location'] += loc
+
+        # -------- objectness --------
+        obj_target = true_obj
+        if cfg.use_iou_aware_objectness:
+            pos_iou = jnp.clip(assigned_iou, 0.0, 1.0)
+            iou_t = jnp.power(pos_iou + cfg.eps, cfg.iou_objectness_power)
+            blended = (cfg.iou_objectness_ratio * iou_t
+                       + (1.0 - cfg.iou_objectness_ratio) * true_obj)
+            obj_target = object_mask * blended + (1 - object_mask) * obj_target
+        obj_bce = binary_cross_entropy_with_logits(obj_target, pred_obj)
+        weight = (object_mask * cfg.object_scale
+                  + (1.0 - object_mask) * (1.0 - ignore) * cfg.no_object_scale)
+        if cfg.trainable_nms_weight > 0.0:
+            supp = jnp.power(jnp.clip(max_iou, 0.0, 1.0) + cfg.eps,
+                             cfg.trainable_nms_power)
+            weight = weight + ((1.0 - object_mask) * ignore
+                               * cfg.trainable_nms_weight * supp)
+        totals['objectness'] += jnp.sum(obj_bce * weight) / norm
+
+        # -------- anchor prediction --------
+        a_bce = binary_cross_entropy_with_logits(true_anchor, pred_anchor)
+        totals['anchor'] += jnp.sum(
+            a_bce * object_mask * (1.0 - ignore)) / norm
+
+        # -------- classification --------
+        if cfg.use_softmax_loss:
+            c_l = softmax_focal_loss(true_class, pred_class)
+        elif cfg.use_focal_loss:
+            c_l = sigmoid_focal_loss(true_class, pred_class)
+        else:
+            smooth = true_class
+            if cfg.label_smoothing > 0:
+                smooth = (true_class * (1.0 - cfg.label_smoothing)
+                          + cfg.label_smoothing / num_classes)
+            c_l = binary_cross_entropy_with_logits(smooth, pred_class)
+        totals['classification'] += jnp.sum(c_l * cw * object_mask) / norm
+
+        # -------- consensus --------
+        if cfg.use_consensus_loss:
+            cc, co, ccls = _consensus_losses(
+                cfg, pred_xy, pred_wh, pred_obj, pred_class, true_xy,
+                object_mask, assigned_iou)
+            totals['consensus_coord'] += cc
+            totals['consensus_obj'] += co
+            totals['consensus_class'] += ccls
+
+    total = (cfg.coord_scale * totals['location']
+             + cfg.object_scale * totals['objectness']
+             + cfg.anchor_scale * totals['anchor']
+             + cfg.class_scale * totals['classification'])
+    if cfg.use_consensus_loss:
+        total = total + (cfg.consensus_coord_scale * totals['consensus_coord']
+                         + cfg.consensus_obj_scale * totals['consensus_obj']
+                         + cfg.consensus_class_scale
+                         * totals['consensus_class'])
+
+    metrics = dict(totals)
+    metrics['total'] = total
+    metrics['num_positives'] = num_pos_total
+    return total, metrics
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_loss_fn(anchors_key, num_classes, input_hw, cfg):
+    anchors = [np.asarray(a, np.float32) for a in anchors_key]
+
+    def f(y_pred, y_true, class_weights):
+        return multigrid_loss(y_pred, y_true, anchors, num_classes,
+                              input_hw, cfg, class_weights)
+    return jax.jit(f)
+
+
+def multigrid_loss_jit(y_pred, y_true, anchors, num_classes, input_hw,
+                       cfg: LossConfig = LossConfig(), class_weights=None):
+    """Jit-compiled ``multigrid_loss`` (compiled once per config/shape).
+
+    Per-op eager dispatch is orders of magnitude slower than a fused XLA
+    program, so this is the recommended standalone entry point; inside a
+    jitted train step call ``multigrid_loss`` directly.
+    """
+    key = tuple(
+        tuple(map(tuple, np.asarray(a, np.float32).tolist()))
+        for a in anchors)
+    fn = _jitted_loss_fn(key, int(num_classes), tuple(input_hw), cfg)
+    if class_weights is None:
+        class_weights = jnp.ones((num_classes,), jnp.float32)
+    return fn(list(y_pred), list(y_true), class_weights)

@@ -1,0 +1,109 @@
+"""Darknet53 and CSPDarknet53 backbones (flax, NHWC, bf16-capable).
+
+Re-implements the reference Darknet53 body
+(/root/reference/multigriddet/models/backbones/darknet.py:19-40): stem
+conv32 + residual stages (64x1, 128x2, 256x8, 512x8, 1024x4) with feature
+taps after the 256- and 512-stage (strides 8/16) and at the output (stride
+32).  The reference's CSPDarknet53 is a stub that silently falls back to
+plain Darknet53 (darknet.py:219-222); here it is a real CSPNet
+implementation (cross-stage partial connections, mish activations, YOLOv4
+style).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import ConvBN, Taps
+from .registry import register_backbone
+
+
+class _ResStage(nn.Module):
+    """Downsample conv followed by ``num_blocks`` residual bottlenecks."""
+
+    filters: int
+    num_blocks: int
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = ConvBN(self.filters, 3, strides=2, **kw)(x, train)
+        for _ in range(self.num_blocks):
+            y = ConvBN(self.filters // 2, 1, **kw)(x, train)
+            y = ConvBN(self.filters, 3, **kw)(y, train)
+            x = x + y
+        return x
+
+
+@register_backbone('darknet53')
+class Darknet53(nn.Module):
+    """Darknet53 body returning (C3, C4, C5) taps at strides (8, 16, 32)."""
+
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+    out_channels: Tuple[int, int, int] = (256, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Taps:
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        skw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = ConvBN(32, 3, **kw)(x, train)
+        x = _ResStage(64, 1, **skw)(x, train)
+        x = _ResStage(128, 2, **skw)(x, train)
+        c3 = x = _ResStage(256, 8, **skw)(x, train)
+        c4 = x = _ResStage(512, 8, **skw)(x, train)
+        c5 = _ResStage(1024, 4, **skw)(x, train)
+        return c3, c4, c5
+
+
+class _CSPStage(nn.Module):
+    """Cross-stage-partial residual stage (YOLOv4 CSPDarknet53 layout)."""
+
+    filters: int
+    num_blocks: int
+    first: bool = False
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act='mish', dtype=self.dtype,
+                  bn_axis_name=self.bn_axis_name)
+        hidden = self.filters if self.first else self.filters // 2
+        x = ConvBN(self.filters, 3, strides=2, **kw)(x, train)
+        short = ConvBN(hidden, 1, **kw)(x, train)
+        main = ConvBN(hidden, 1, **kw)(x, train)
+        for _ in range(self.num_blocks):
+            y = ConvBN(self.filters // 2, 1, **kw)(main, train)
+            y = ConvBN(hidden, 3, **kw)(y, train)
+            main = main + y
+        main = ConvBN(hidden, 1, **kw)(main, train)
+        x = jnp.concatenate([main, short], axis=-1)
+        return ConvBN(self.filters, 1, **kw)(x, train)
+
+
+@register_backbone('csp_darknet53')
+class CSPDarknet53(nn.Module):
+    """Real CSPDarknet53 (the reference only stubs this architecture)."""
+
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+    out_channels: Tuple[int, int, int] = (256, 512, 1024)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Taps:
+        kw = dict(act='mish', dtype=self.dtype,
+                  bn_axis_name=self.bn_axis_name)
+        skw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        x = ConvBN(32, 3, **kw)(x, train)
+        x = _CSPStage(64, 1, first=True, **skw)(x, train)
+        x = _CSPStage(128, 2, **skw)(x, train)
+        c3 = x = _CSPStage(256, 8, **skw)(x, train)
+        c4 = x = _CSPStage(512, 8, **skw)(x, train)
+        c5 = _CSPStage(1024, 4, **skw)(x, train)
+        return c3, c4, c5

@@ -1,0 +1,94 @@
+"""Full MultiGridDet detector assembly + preset factories.
+
+TPU-native counterpart of the reference's model assembly
+(/root/reference/multigriddet/models/multigriddet_darknet.py:488-548 and
+multigriddet_resnet.py:19-182): a flax module composing a backbone with the
+MultiGrid head (which carries the implicit top-down FPN).  Presets are
+registered in the model registry and instantiated by the config layer.
+
+The forward returns raw per-scale logits ``[B, gh, gw, A_l + C + 5]`` —
+decode/NMS live in ``multigriddet_tpu.ops`` and fuse into the same XLA
+program when jitted together.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .darknet import CSPDarknet53, Darknet53
+from .head import MultiGridHead
+from .registry import get_backbone, get_head, register_model
+from .resnet import ResNet50
+
+
+class MultiGridDet(nn.Module):
+    """backbone -> (C3, C4, C5) -> MultiGrid head -> (y1, y2, y3)."""
+
+    backbone: nn.Module
+    head: nn.Module
+
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        taps = self.backbone(images, train=train)
+        return self.head(taps, train=train)
+
+
+def _head_channels(backbone) -> Tuple[int, int, int]:
+    """Head working widths: half of each tap's channel count, coarse->fine.
+
+    For darknet taps (256,512,1024) this yields the reference's (512,256,128)
+    (multigriddet_darknet.py:533-536)."""
+    c3, c4, c5 = backbone.out_channels
+    return c5 // 2, c4 // 2, c3 // 2
+
+
+def _build(backbone_cls, num_anchors=(3, 3, 3), num_classes=80,
+           use_spp=False, lite=False, dtype=jnp.float32,
+           bn_axis_name=None, **kwargs) -> MultiGridDet:
+    backbone = backbone_cls(dtype=dtype, bn_axis_name=bn_axis_name)
+    head = MultiGridHead(
+        num_anchors=tuple(num_anchors), num_classes=num_classes,
+        channels=_head_channels(backbone), use_spp=use_spp, lite=lite,
+        dtype=dtype, bn_axis_name=bn_axis_name)
+    return MultiGridDet(backbone=backbone, head=head)
+
+
+@register_model('multigriddet_darknet')
+def multigriddet_darknet(**kwargs) -> MultiGridDet:
+    return _build(Darknet53, **kwargs)
+
+
+@register_model('multigriddet_darknet_spp')
+def multigriddet_darknet_spp(**kwargs) -> MultiGridDet:
+    return _build(Darknet53, use_spp=True, **kwargs)
+
+
+@register_model('multigriddet_darknet_lite')
+def multigriddet_darknet_lite(**kwargs) -> MultiGridDet:
+    return _build(Darknet53, lite=True, **kwargs)
+
+
+@register_model('multigriddet_csp_darknet')
+def multigriddet_csp_darknet(**kwargs) -> MultiGridDet:
+    return _build(CSPDarknet53, **kwargs)
+
+
+@register_model('multigriddet_resnet')
+def multigriddet_resnet(**kwargs) -> MultiGridDet:
+    return _build(ResNet50, **kwargs)
+
+
+def build_custom(backbone_name: str, head_name: str = 'multigrid',
+                 num_anchors=(3, 3, 3), num_classes=80, dtype=jnp.float32,
+                 bn_axis_name=None, **head_kwargs) -> MultiGridDet:
+    """Compose a detector from registered components (custom config mode)."""
+    backbone_cls = get_backbone(backbone_name)
+    head_cls = get_head(head_name)
+    backbone = backbone_cls(dtype=dtype, bn_axis_name=bn_axis_name)
+    head = head_cls(
+        num_anchors=tuple(num_anchors), num_classes=num_classes,
+        channels=_head_channels(backbone), dtype=dtype,
+        bn_axis_name=bn_axis_name, **head_kwargs)
+    return MultiGridDet(backbone=backbone, head=head)

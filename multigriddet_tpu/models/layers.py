@@ -1,0 +1,151 @@
+"""Shared flax layer primitives for the MultiGridDet-TPU model zoo.
+
+TPU-native equivalents of the reference's Keras layer helpers
+(/root/reference/multigriddet/models/layers.py:88-136): a no-bias conv +
+BatchNorm + LeakyReLU(0.1) building block with Darknet's left/top padding for
+stride-2 convs, mish variants, depthwise-separable variants and the SPP block.
+
+Everything is NHWC (TPU conv layout) and threads a computation ``dtype`` so
+the whole network can run in bfloat16 on the MXU while keeping float32
+parameters and batch statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+_ACTS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
+    'leaky': leaky_relu,
+    'mish': mish,
+    'relu': nn.relu,
+    'linear': lambda x: x,
+}
+
+
+class ConvBN(nn.Module):
+    """Conv2D (no bias) + BatchNorm + activation — the Darknet workhorse.
+
+    Stride-2 convs use Darknet's asymmetric ((1,0),(1,0)) top/left padding
+    with VALID convolution instead of SAME, matching the reference
+    (models/backbones/darknet.py:30-40).
+    """
+
+    filters: int
+    kernel: int = 3
+    strides: int = 1
+    act: str = 'leaky'
+    dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.strides == 2:
+            x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            padding = 'VALID'
+        else:
+            padding = 'SAME'
+        x = nn.Conv(self.filters, (self.kernel, self.kernel),
+                    strides=(self.strides, self.strides), padding=padding,
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None)(x)
+        return _ACTS[self.act](x)
+
+
+class PredictConv(nn.Module):
+    """The linear 1x1 prediction conv (with bias, float32 output).
+
+    Output logits stay float32 regardless of compute dtype so decode/loss
+    math is numerically stable (predict_conv layers in the reference:
+    models/layers.py:122-136).
+    """
+
+    filters: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(self.filters, (1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        return y.astype(jnp.float32)
+
+
+class SeparableConvBN(nn.Module):
+    """Depthwise-separable ConvBN (reference layers.py:75-95 'lite' variant)."""
+
+    filters: int
+    kernel: int = 3
+    strides: int = 1
+    act: str = 'leaky'
+    dtype: Dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        if self.strides == 2:
+            x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            padding = 'VALID'
+        else:
+            padding = 'SAME'
+        # Depthwise
+        x = nn.Conv(in_ch, (self.kernel, self.kernel),
+                    strides=(self.strides, self.strides), padding=padding,
+                    feature_group_count=in_ch, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None)(x)
+        x = _ACTS[self.act](x)
+        # Pointwise
+        x = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32,
+                         axis_name=self.bn_axis_name if train else None)(x)
+        return _ACTS[self.act](x)
+
+
+def spp(x: jnp.ndarray, pool_sizes: Sequence[int] = (5, 9, 13)) -> jnp.ndarray:
+    """Spatial pyramid pooling: concat of stride-1 max-pools + identity.
+
+    Matches reference Spp_Conv2D_BN_Leaky pooling stage (layers.py:112-120);
+    the trailing 1x1 ConvBN is applied by the caller.
+    """
+    pools = [
+        nn.max_pool(x, (k, k), strides=(1, 1), padding='SAME')
+        for k in pool_sizes
+    ]
+    return jnp.concatenate(pools[::-1] + [x], axis=-1)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x upsample (Keras UpSampling2D default)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+Taps = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]

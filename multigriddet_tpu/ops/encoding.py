@@ -312,8 +312,12 @@ def extract_center_gt_boxes(y_true_layer: jnp.ndarray,
     wh = jnp.exp(y_true_layer[..., 2:4]) * anchors_layer[anchor_idx]
 
     score = is_center.astype(jnp.float32).reshape(b, -1)
-    top, idx = jax.lax.top_k(score, max_boxes)
+    k = min(max_boxes, score.shape[1])
+    top, idx = jax.lax.top_k(score, k)
     flat = jnp.concatenate(
         [cx[..., None], cy[..., None], wh], axis=-1).reshape(b, -1, 4)
     boxes = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    if k < max_boxes:
+        boxes = jnp.pad(boxes, ((0, 0), (0, max_boxes - k), (0, 0)))
+        top = jnp.pad(top, ((0, 0), (0, max_boxes - k)))
     return boxes, top > 0.5

@@ -1,0 +1,134 @@
+"""On-device augmentation tests (ports the reference's aug test strategy:
+box/image consistency per op, capacity discipline, mosaic/mixup count
+preservation — SURVEY.md §4, tests/test_augmentations.py etc.)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigriddet_tpu.data import augment as A
+from multigriddet_tpu.data import calculate_expansion_factor
+
+H = W = 64
+B, N = 4, 6
+
+
+@pytest.fixture
+def batch(rng):
+    images = rng.randint(0, 255, (B, H, W, 3)).astype(np.float32)
+    boxes = np.zeros((B, N, 5), np.float32)
+    boxes[:, 0] = [10, 12, 40, 44, 1]
+    boxes[:, 1] = [30, 5, 60, 30, 2]
+    return jnp.asarray(images), jnp.asarray(boxes)
+
+
+def test_hflip_box_transform(batch):
+    images, boxes = batch
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_hflip(k, i, b, prob=1.0))(
+            jax.random.PRNGKey(0), images, boxes)
+    np.testing.assert_allclose(np.asarray(out_img),
+                               np.asarray(images)[:, :, ::-1, :])
+    np.testing.assert_allclose(np.asarray(out_box)[:, 0, 0], W - 40)
+    np.testing.assert_allclose(np.asarray(out_box)[:, 0, 2], W - 10)
+    # y untouched, class preserved
+    np.testing.assert_allclose(np.asarray(out_box)[:, 0, 1], 12)
+    np.testing.assert_allclose(np.asarray(out_box)[:, 0, 4], 1)
+
+
+def test_rotate90_box_transform(batch):
+    images, boxes = batch
+    k = jax.random.PRNGKey(3)
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_rotate90(k, i, b, prob=1.0))(
+            k, images, boxes)
+    # every image rotated by some multiple of 90; box corners stay inside
+    ob = np.asarray(out_box)
+    valid = (ob[..., 2] - ob[..., 0]) > 0
+    assert valid[:, :2].all()
+    assert (ob[..., 0] >= -1e-3).all() and (ob[..., 2] <= W + 1e-3).all()
+    # areas preserved under rotation
+    area0 = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+    area1 = (ob[..., 2] - ob[..., 0]) * (ob[..., 3] - ob[..., 1])
+    np.testing.assert_allclose(np.asarray(area0)[:, :2], area1[:, :2],
+                               rtol=1e-5)
+
+
+def test_photometric_ops_leave_boxes(batch):
+    images, boxes = batch
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def run(k, i, b):
+        for fn in (A.random_brightness, A.random_contrast,
+                   A.random_saturation, A.random_hue, A.random_grayscale):
+            k, sub = jax.random.split(k)
+            i, b = fn(sub, i, b)
+        return i, b
+
+    out_img, out_box = run(key, images, boxes)
+    np.testing.assert_array_equal(np.asarray(out_box), np.asarray(boxes))
+    assert float(jnp.min(out_img)) >= 0 and float(jnp.max(out_img)) <= 255
+
+
+def test_resize_crop_pad_keeps_boxes_in_canvas(batch):
+    images, boxes = batch
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_resize_crop_pad(k, i, b))(
+            jax.random.PRNGKey(2), images, boxes)
+    ob = np.asarray(out_box)
+    assert (ob[..., 0] >= 0).all() and (ob[..., 2] <= W).all()
+    assert (ob[..., 1] >= 0).all() and (ob[..., 3] <= H).all()
+    assert out_img.shape == images.shape
+
+
+def test_expansion_factor_rules():
+    # reference generators.py:1492-1517
+    assert calculate_expansion_factor(0.3, 0.1) == 8
+    assert calculate_expansion_factor(0.3, 0.0) == 4
+    assert calculate_expansion_factor(0.0, 0.1) == 2
+    assert calculate_expansion_factor(0.0, 0.0) == 1
+
+
+def test_mosaic_capacity_and_counts(batch):
+    images, boxes = batch
+    expanded = A.expand_box_capacity(boxes, 4)
+    assert expanded.shape == (B, N * 4, 5)
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_mosaic(k, i, b, prob=1.0))(
+            jax.random.PRNGKey(4), images, expanded)
+    assert out_box.shape == expanded.shape
+    assert out_img.shape == images.shape
+    ob = np.asarray(out_box)
+    # mosaic of 4 sources each with 2 valid boxes: some must survive
+    n_valid = ((ob[..., 2] - ob[..., 0]) > 0).sum()
+    assert n_valid > 0
+    # all surviving boxes inside canvas
+    alive = (ob[..., 2] - ob[..., 0]) > 0
+    assert (ob[..., 0][alive] >= 0).all() and (ob[..., 2][alive] <= W).all()
+
+
+def test_mixup_concatenates_boxes(batch):
+    images, boxes = batch
+    expanded = A.expand_box_capacity(boxes, 2)
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_mixup(k, i, b, prob=1.0))(
+            jax.random.PRNGKey(5), images, expanded)
+    ob = np.asarray(out_box)
+    # each output has boxes of itself + neighbor = 4 valid
+    n_valid = ((ob[..., 2] - ob[..., 0]) > 0).sum(axis=1)
+    np.testing.assert_array_equal(n_valid, np.full(B, 4))
+
+
+def test_gridmask_survival(batch):
+    images, boxes = batch
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_gridmask(k, i, b, prob=1.0,
+                                          d_range=(20, 30)))(
+            jax.random.PRNGKey(6), images, boxes)
+    ob = np.asarray(out_box)
+    # surviving boxes keep original coordinates
+    alive = (ob[..., 2] - ob[..., 0]) > 0
+    orig = np.asarray(boxes)
+    assert (ob[alive] == orig[alive]).all()

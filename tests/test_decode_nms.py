@@ -9,6 +9,7 @@ from multigriddet_tpu.ops import (batched_nms, decode_predictions,
 
 INPUT_HW = (608, 608)
 GRIDS = [(19, 19), (38, 38), (76, 76)]
+SMALL_GRIDS = [(5, 5), (10, 10), (20, 20)]
 
 
 def _numpy_decode_scale(pred, anchors, input_hw, rescore=True):
@@ -31,9 +32,11 @@ def _numpy_decode_scale(pred, anchors, input_hw, rescore=True):
 
 
 def test_decode_matches_numpy_oracle(rng, coco_anchors):
+    import jax
     preds = [rng.randn(2, gh, gw, 5 + 3 + 80).astype(np.float32) * 2
-             for gh, gw in GRIDS]
-    got = np.asarray(decode_predictions(preds, coco_anchors, INPUT_HW))
+             for gh, gw in SMALL_GRIDS]
+    got = np.asarray(jax.jit(
+        lambda ps: decode_predictions(ps, coco_anchors, INPUT_HW))(preds))
     want = np.concatenate(
         [_numpy_decode_scale(p, a, INPUT_HW)
          for p, a in zip(preds, coco_anchors)], axis=1)

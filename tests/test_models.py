@@ -1,0 +1,69 @@
+"""Model zoo tests: shapes, param budget, registry, custom composition."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multigriddet_tpu.models import (build_custom, create_model,
+                                     list_components)
+
+
+def _init_and_apply(model, size=64, num_feat=88):
+    x = jnp.zeros((1, size, size, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    return variables, outs
+
+
+def test_darknet_preset_shapes_and_params():
+    model = create_model('multigriddet_darknet', num_classes=80)
+    variables, outs = _init_and_apply(model)
+    assert [o.shape for o in outs] == [
+        (1, 2, 2, 88), (1, 4, 4, 88), (1, 8, 8, 88)]
+    n_params = sum(
+        v.size for v in jax.tree_util.tree_leaves(variables['params']))
+    # Reference Darknet53 preset is ~45M params (README.md:615).
+    assert 44e6 < n_params < 46e6
+
+
+def test_outputs_float32_under_bf16_compute():
+    model = create_model('multigriddet_darknet', num_classes=4,
+                         dtype=jnp.bfloat16)
+    _, outs = _init_and_apply(model)
+    for o in outs:
+        assert o.dtype == jnp.float32
+        assert o.shape[-1] == 4 + 3 + 5
+
+
+@pytest.mark.parametrize('name', ['multigriddet_csp_darknet',
+                                  'multigriddet_resnet',
+                                  'multigriddet_darknet_lite',
+                                  'multigriddet_darknet_spp'])
+def test_other_presets_build(name):
+    model = create_model(name, num_classes=2)
+    _, outs = _init_and_apply(model)
+    assert len(outs) == 3
+    for scale, o in enumerate(outs):
+        assert o.shape[1] == o.shape[2] == 2 ** (scale + 1)
+        assert o.shape[-1] == 2 + 3 + 5
+
+
+def test_custom_composition_and_registry():
+    comps = list_components()
+    assert 'darknet53' in comps['backbones']
+    assert 'csp_darknet53' in comps['backbones']
+    assert 'multigrid' in comps['heads']
+    model = build_custom('csp_darknet53', 'multigrid_lite', num_classes=2)
+    _, outs = _init_and_apply(model)
+    assert len(outs) == 3
+
+
+def test_train_mode_updates_batch_stats():
+    model = create_model('multigriddet_darknet_lite', num_classes=2)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    outs, mutated = model.apply(
+        variables, x, train=True, mutable=['batch_stats'])
+    assert 'batch_stats' in mutated
+    leaves = jax.tree_util.tree_leaves(mutated['batch_stats'])
+    assert any(bool(jnp.any(l != 0)) for l in leaves)
