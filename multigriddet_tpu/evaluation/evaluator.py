@@ -1,0 +1,225 @@
+"""MultiGridEvaluator: batched on-device inference + host mAP.
+
+TPU-native counterpart of the reference evaluator
+(/root/reference/multigriddet/evaluation/evaluator.py:37-654).  The
+reference runs the model on device, then a thread-pooled NumPy
+decode + NMS per image on the host (its eval hot spot); here decode + NMS
+are fused into the batched jitted forward (make_infer_step), so the host
+only does letterboxing, the tiny box-count letterbox inverse, and mAP.
+
+Keeps the reference's phase timing (inference vs metrics wall time,
+images/sec) and JSON results schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..config import build_model_from_config
+from ..data.annotations import (letterbox_image, load_annotation_lines,
+                                parse_annotation_line)
+from ..ops.geometry import undo_letterbox_boxes
+from ..training.checkpoint import load_params
+from ..training.steps import make_infer_step
+from ..utils.visualization import draw_boxes, get_colors
+from .metrics import COCO_IOU_THRESHOLDS, calculate_map, format_results
+
+
+class MultiGridEvaluator:
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        ev = config.get('evaluation', {}) or {}
+        self.batch_size = int(ev.get('batch_size', 8))
+        self.confidence = float(ev.get('confidence_threshold', 0.1))
+        self.nms_threshold = float(ev.get('nms_threshold', 0.45))
+        self.nms_method = ev.get('nms_method', 'diou')
+        self.use_iol = bool(ev.get('use_iol', True))
+        self.iou_thresholds = tuple(
+            ev.get('iou_thresholds', COCO_IOU_THRESHOLDS))
+        self.interp = ev.get('interpolation_method', 'coco')
+        self.max_images = ev.get('max_images')
+        self.optimize_classes = bool(ev.get('optimize_classes', True))
+        self.results_dir = ev.get('results_dir', 'results/evaluation')
+        self.save_results = bool(ev.get('save_results', True))
+        self.eval_cfg = ev
+        self._load_model()
+        self.results: Optional[Dict] = None
+        self.timing: Dict[str, float] = {}
+
+    def _load_model(self):
+        self.model, self.spec = build_model_from_config(self.config)
+        ev = self.config.get('evaluation', {}) or {}
+        shape = ev.get('input_shape') or self.spec['input_shape']
+        self.input_hw: Tuple[int, int] = tuple(shape[:2])
+        self.class_names = self.spec.get('class_names') or [
+            str(i) for i in range(self.spec['num_classes'])]
+        dummy = jnp.zeros((1, *self.input_hw, 3), jnp.float32)
+        variables = jax.jit(lambda: self.model.init(
+            jax.random.PRNGKey(0), dummy, train=False))()
+        weights_path = self.config.get('weights_path')
+        if weights_path and os.path.exists(weights_path):
+            variables = load_params(weights_path, dict(variables))
+            print(f'Loaded weights from {weights_path}')
+        else:
+            print('WARNING: evaluating with random weights')
+        self.variables = variables
+        self._infer = make_infer_step(
+            self.model, self.spec['anchors'], self.input_hw,
+            confidence=self.confidence, nms_threshold=self.nms_threshold,
+            nms_method=self.nms_method, use_iol=self.use_iol,
+            max_boxes=100)
+
+    def _load_annotations(self, path: str):
+        lines = load_annotation_lines(path, shuffle=False)
+        if self.max_images:
+            lines = lines[:int(self.max_images)]
+        return lines
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self, annotation_path: Optional[str] = None) -> Dict:
+        data_cfg = self.config.get('data', {}) or {}
+        path = annotation_path or data_cfg.get('annotation')
+        lines = self._load_annotations(path)
+        print(f'Evaluating {len(lines)} images @ {self.input_hw}')
+
+        predictions: Dict[int, Dict] = {}
+        ground_truths: Dict[int, Dict] = {}
+        img_sizes: Dict[int, Tuple[int, int]] = {}
+
+        t_infer = 0.0
+        t0_all = time.time()
+        annotated_cfg = ((self.config.get('visualizations', {}) or {})
+                         .get('save_annotated_images', {}) or {})
+        save_imgs = bool(annotated_cfg.get('enabled'))
+        max_save = int(annotated_cfg.get('max_images', 10) or 0)
+        colors = get_colors(len(self.class_names))
+        n_saved = 0
+
+        for start in range(0, len(lines), self.batch_size):
+            chunk = lines[start:start + self.batch_size]
+            batch_arr = np.zeros(
+                (self.batch_size, *self.input_hw, 3), np.float32)
+            metas = []
+            for bi, line in enumerate(chunk):
+                img_path, gt_boxes = parse_annotation_line(line)
+                with Image.open(img_path) as img:
+                    img = img.convert('RGB')
+                    iw, ih = img.size
+                    arr, _, _, _ = letterbox_image(img, self.input_hw)
+                    if save_imgs and n_saved < max_save:
+                        metas.append((start + bi, gt_boxes, ih, iw,
+                                      np.asarray(img)))
+                    else:
+                        metas.append((start + bi, gt_boxes, ih, iw, None))
+                batch_arr[bi] = arr.astype(np.float32) / 255.0
+
+            t0 = time.time()
+            bxs, cls, scs, valid = self._infer(
+                self.variables, jnp.asarray(batch_arr))
+            jax.block_until_ready(bxs)
+            t_infer += time.time() - t0
+
+            bxs, cls = np.asarray(bxs), np.asarray(cls)
+            scs, valid = np.asarray(scs), np.asarray(valid)
+            for bi, (img_id, gt_boxes, ih, iw, raw) in enumerate(metas):
+                keep = valid[bi]
+                b, c, s = bxs[bi][keep], cls[bi][keep], scs[bi][keep]
+                if len(b):
+                    hw = np.asarray(self.input_hw, np.float32)
+                    cxcywh = np.stack([
+                        (b[:, 0] + b[:, 2] / 2) / hw[1],
+                        (b[:, 1] + b[:, 3] / 2) / hw[0],
+                        b[:, 2] / hw[1], b[:, 3] / hw[0]], axis=-1)
+                    b = np.asarray(undo_letterbox_boxes(
+                        jnp.asarray(cxcywh), (ih, iw), self.input_hw))
+                predictions[img_id] = {
+                    'boxes': b.astype(np.float32),
+                    'classes': c.astype(np.int32),
+                    'scores': s.astype(np.float32)}
+                # GT: x1y1x2y2cls -> top-left xywh
+                g = gt_boxes
+                gt_xywh = (np.stack(
+                    [g[:, 0], g[:, 1], g[:, 2] - g[:, 0],
+                     g[:, 3] - g[:, 1]], axis=-1)
+                    if len(g) else np.zeros((0, 4), np.float32))
+                ground_truths[img_id] = {
+                    'boxes': gt_xywh.astype(np.float32),
+                    'classes': (g[:, 4].astype(np.int32) if len(g)
+                                else np.zeros((0,), np.int32))}
+                img_sizes[img_id] = (ih, iw)
+                if raw is not None and n_saved < max_save:
+                    self._save_annotated(raw, b, c, s, gt_xywh,
+                                         ground_truths[img_id]['classes'],
+                                         img_id, colors, annotated_cfg)
+                    n_saved += 1
+
+        self.timing['inference_s'] = t_infer
+        n = len(lines)
+        self.timing['images_per_sec'] = n / t_infer if t_infer > 0 else 0.0
+
+        t0 = time.time()
+        results = calculate_map(
+            predictions, ground_truths, self.spec['num_classes'],
+            self.iou_thresholds, self.interp, self.optimize_classes,
+            self.class_names)
+        self.timing['metrics_s'] = time.time() - t0
+        self.timing['total_s'] = time.time() - t0_all
+        results['timing'] = dict(self.timing)
+        results['num_images'] = n
+        self.results = results
+        self.predictions = predictions
+        self.ground_truths = ground_truths
+
+        if self.save_results:
+            self._save_results()
+        return results
+
+    def _save_annotated(self, raw, boxes, classes, scores, gt_boxes,
+                        gt_classes, img_id, colors, cfg):
+        out_dir = cfg.get('save_dir',
+                          os.path.join(self.results_dir,
+                                       'annotated_images'))
+        os.makedirs(out_dir, exist_ok=True)
+        img = raw
+        if cfg.get('draw_predictions', True):
+            img = draw_boxes(img, boxes, classes, scores, self.class_names,
+                             colors)
+        if cfg.get('draw_ground_truth', True) and len(gt_boxes):
+            img = draw_boxes(img, gt_boxes, gt_classes,
+                             np.ones(len(gt_boxes)), self.class_names,
+                             [(255, 255, 255)] * len(self.class_names),
+                             show_scores=False)
+        ext = cfg.get('image_format', 'jpg')
+        Image.fromarray(img).save(
+            os.path.join(out_dir, f'eval_{img_id:06d}.{ext}'))
+
+    def _save_results(self):
+        os.makedirs(self.results_dir, exist_ok=True)
+        out = {k: v for k, v in self.results.items()
+               if k not in ('pr_curves', 'gt_counts')}
+        out['gt_counts'] = self.results['gt_counts'].tolist()
+        path = os.path.join(self.results_dir, 'evaluation_results.json')
+        with open(path, 'w') as f:
+            json.dump(out, f, indent=2)
+        print(f'Saved results to {path}')
+
+    def print_results(self):
+        if self.results is None:
+            print('No results yet — call evaluate() first.')
+            return
+        print(format_results(self.results))
+        t = self.timing
+        print(f"inference: {t.get('inference_s', 0):.1f}s "
+              f"({t.get('images_per_sec', 0):.1f} img/s)  "
+              f"metrics: {t.get('metrics_s', 0):.1f}s  "
+              f"total: {t.get('total_s', 0):.1f}s")

@@ -1,0 +1,199 @@
+"""MultiGridInference: image / video / camera / directory inference.
+
+TPU-native counterpart of the reference inference engine
+(/root/reference/multigriddet/inference/inference_engine.py:24-441): the
+model forward, decode, and NMS run as ONE jitted program on device
+(make_infer_step); only JPEG decode, letterboxing and drawing stay on host.
+The letterbox inverse runs on the tiny NMS output (<=max_boxes boxes).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..config import build_model_from_config
+from ..data.annotations import letterbox_image
+from ..ops.geometry import undo_letterbox_boxes
+from ..training.checkpoint import load_params
+from ..training.steps import make_infer_step
+from ..utils.anchors import load_classes
+from ..utils.visualization import draw_boxes, get_colors
+
+_IMG_EXTS = ('.jpg', '.jpeg', '.png', '.bmp', '.webp')
+
+
+class MultiGridInference:
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        det = config.get('detection', {}) or {}
+        self.confidence = float(det.get('confidence_threshold', 0.5))
+        self.nms_threshold = float(det.get('nms_threshold', 0.45))
+        self.nms_method = det.get('nms_method', 'diou')
+        self.use_iol = bool(det.get('use_iol', True))
+        self.max_boxes = int(det.get('max_boxes', 100))
+        self._load_model()
+
+    def _load_model(self):
+        self.model, self.spec = build_model_from_config(self.config)
+        input_cfg = self.config.get('input', {}) or {}
+        shape = input_cfg.get('input_shape') or self.spec['input_shape']
+        self.input_hw: Tuple[int, int] = tuple(shape[:2])
+        self.class_names = self.spec.get('class_names') or [
+            str(i) for i in range(self.spec['num_classes'])]
+        self.colors = get_colors(len(self.class_names))
+
+        dummy = jnp.zeros((1, *self.input_hw, 3), jnp.float32)
+        variables = jax.jit(lambda: self.model.init(
+            jax.random.PRNGKey(0), dummy, train=False))()
+        weights_path = self.config.get('weights_path')
+        if weights_path and os.path.exists(weights_path):
+            loaded = load_params(weights_path, dict(variables))
+            variables = loaded
+            print(f'Loaded weights from {weights_path}')
+        else:
+            print('WARNING: no weights loaded (random init)')
+        self.variables = variables
+        self._infer = make_infer_step(
+            self.model, self.spec['anchors'], self.input_hw,
+            confidence=self.confidence, nms_threshold=self.nms_threshold,
+            nms_method=self.nms_method, use_iol=self.use_iol,
+            max_boxes=self.max_boxes)
+
+    # ------------------------------------------------------------------
+
+    def detect(self, image: Image.Image):
+        """Detect on one PIL image.
+
+        Returns (boxes [N,4] top-left xywh in original pixels,
+        classes [N], scores [N]).
+        """
+        arr, _, _, _ = letterbox_image(image.convert('RGB'), self.input_hw)
+        batch = jnp.asarray(arr, jnp.float32)[None] / 255.0
+        bxs, cls, scs, valid = self._infer(self.variables, batch)
+        bxs, cls, scs, valid = (np.asarray(bxs[0]), np.asarray(cls[0]),
+                                np.asarray(scs[0]), np.asarray(valid[0]))
+        keep = valid
+        bxs, cls, scs = bxs[keep], cls[keep], scs[keep]
+        if len(bxs):
+            # canvas-pixels -> normalized cxcywh -> original image pixels
+            hw = np.asarray(self.input_hw, np.float32)
+            cxcywh = np.stack([
+                (bxs[:, 0] + bxs[:, 2] / 2) / hw[1],
+                (bxs[:, 1] + bxs[:, 3] / 2) / hw[0],
+                bxs[:, 2] / hw[1], bxs[:, 3] / hw[0]], axis=-1)
+            ih, iw = image.size[1], image.size[0]
+            bxs = np.asarray(undo_letterbox_boxes(
+                jnp.asarray(cxcywh), (ih, iw), self.input_hw))
+        return bxs, cls, scs
+
+    def predict_image(self, path: str, output_dir: Optional[str] = None,
+                      show: bool = False):
+        image = Image.open(path)
+        t0 = time.time()
+        boxes, classes, scores = self.detect(image)
+        dt = time.time() - t0
+        print(f'{os.path.basename(path)}: {len(boxes)} objects '
+              f'in {dt*1000:.1f} ms')
+        annotated = draw_boxes(np.asarray(image.convert('RGB')), boxes,
+                               classes, scores, self.class_names,
+                               self.colors)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            out_path = os.path.join(output_dir, os.path.basename(path))
+            Image.fromarray(annotated).save(out_path)
+            print(f'Saved to {out_path}')
+        return annotated, (boxes, classes, scores)
+
+    def predict_directory(self, directory: str,
+                          output_dir: Optional[str] = None):
+        paths = sorted(
+            p for p in glob.glob(os.path.join(directory, '*'))
+            if p.lower().endswith(_IMG_EXTS))
+        results = []
+        for p in paths:
+            results.append(self.predict_image(p, output_dir))
+        return results
+
+    def predict_video(self, source, output_path: Optional[str] = None,
+                      show: bool = False, max_frames: Optional[int] = None):
+        """Video (or camera index) loop via cv2
+        (reference inference_engine.py:153-347)."""
+        import cv2
+        cap = cv2.VideoCapture(source)
+        if not cap.isOpened():
+            raise IOError(f'cannot open video source {source!r}')
+        writer = None
+        if output_path:
+            video_cfg = self.config.get('video', {}) or {}
+            fps = video_cfg.get('fps') or cap.get(cv2.CAP_PROP_FPS) or 25
+            fourcc = cv2.VideoWriter_fourcc(
+                *video_cfg.get('fourcc', 'mp4v'))
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            writer = cv2.VideoWriter(output_path, fourcc, fps, (w, h))
+        frames = 0
+        t0 = time.time()
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok or (max_frames and frames >= max_frames):
+                    break
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                boxes, classes, scores = self.detect(Image.fromarray(rgb))
+                annotated = draw_boxes(rgb, boxes, classes, scores,
+                                       self.class_names, self.colors)
+                bgr = cv2.cvtColor(annotated, cv2.COLOR_RGB2BGR)
+                if writer is not None:
+                    writer.write(bgr)
+                if show:  # pragma: no cover
+                    cv2.imshow('MultiGridDet', bgr)
+                    if cv2.waitKey(1) & 0xFF == ord('q'):
+                        break
+                frames += 1
+        finally:
+            cap.release()
+            if writer is not None:
+                writer.release()
+        dt = time.time() - t0
+        if frames:
+            print(f'{frames} frames in {dt:.1f}s ({frames/dt:.1f} FPS)')
+        return frames
+
+    def predict_camera(self, device_id: int = 0, show: bool = True,
+                       max_frames: Optional[int] = None):
+        return self.predict_video(device_id, None, show, max_frames)
+
+    def run(self):
+        """Dispatch on input.type (reference inference_engine.py:349-441)."""
+        input_cfg = self.config.get('input', {}) or {}
+        output_cfg = self.config.get('output', {}) or {}
+        out_dir = (output_cfg.get('output_dir', 'output')
+                   if output_cfg.get('save_result', True) else None)
+        kind = input_cfg.get('type', 'image')
+        source = input_cfg.get('source')
+        if kind == 'image':
+            return self.predict_image(source, out_dir,
+                                      show=output_cfg.get('show_result',
+                                                          False))
+        if kind == 'directory':
+            return self.predict_directory(source, out_dir)
+        if kind == 'video':
+            out_path = None
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                out_path = os.path.join(
+                    out_dir, 'annotated_' + os.path.basename(str(source)))
+            return self.predict_video(source, out_path)
+        if kind == 'camera':
+            cam = self.config.get('camera', {}) or {}
+            return self.predict_camera(int(cam.get('device_id', 0)))
+        raise ValueError(f'unknown input type {kind!r}')

@@ -1,0 +1,151 @@
+"""Jitted, mesh-sharded train / eval / infer steps.
+
+The reference trains through Keras ``model.fit`` with the loss as a Lambda
+layer (multigriddet_darknet.py:647-726) on a single device.  Here a step is
+``jit(grad(loss))`` + optax, compiled over a ``jax.sharding.Mesh`` with the
+batch dimension sharded across devices (data parallelism) and parameters
+replicated: XLA inserts the gradient all-reduce and turns BatchNorm's
+batch-axis reductions into cross-device collectives automatically (GSPMD),
+so collectives ride the ICI with no hand-written comms.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses import LossConfig, multigrid_loss
+from ..ops.decode import decode_predictions
+from ..ops.nms import batched_nms
+from .state import TrainState
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = 'batch') -> Mesh:
+    """A 1-D data-parallel mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis_name,))
+
+
+def shard_batch(mesh: Mesh, *arrays, axis_name: str = 'batch'):
+    """Place host arrays on the mesh, sharded along dim 0."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    anchors: Sequence[np.ndarray], num_classes: int,
+                    input_hw: Tuple[int, int],
+                    loss_cfg: LossConfig = LossConfig(),
+                    class_weights: Optional[jnp.ndarray] = None,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step: (state, images, y_true) -> (state, metrics).
+
+    With ``mesh``, inputs are expected batch-sharded and state replicated;
+    the returned function carries explicit sharding constraints so it can be
+    called directly on host arrays too.
+    """
+    anchors = [np.asarray(a, np.float32) for a in anchors]
+
+    def loss_fn(params, batch_stats, images, y_true):
+        outs, mut = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, images,
+            train=True, mutable=['batch_stats'])
+        total, metrics = multigrid_loss(
+            outs, list(y_true), anchors, num_classes, input_hw, loss_cfg,
+            class_weights)
+        return total, (mut['batch_stats'], metrics)
+
+    def step(state: TrainState, images, y_true):
+        if mesh is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, P('batch')))
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, images, y_true)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt)
+        metrics = dict(metrics)
+        metrics['loss'] = loss
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, anchors: Sequence[np.ndarray], num_classes: int,
+                   input_hw: Tuple[int, int],
+                   loss_cfg: LossConfig = LossConfig(),
+                   class_weights: Optional[jnp.ndarray] = None,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    """Validation step: forward (frozen BN stats) + loss metrics."""
+    anchors = [np.asarray(a, np.float32) for a in anchors]
+
+    def step(state: TrainState, images, y_true):
+        if mesh is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, P('batch')))
+        outs = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            images, train=False)
+        total, metrics = multigrid_loss(
+            outs, list(y_true), anchors, num_classes, input_hw, loss_cfg,
+            class_weights)
+        metrics = dict(metrics)
+        metrics['loss'] = total
+        return metrics
+
+    return jax.jit(step)
+
+
+def make_infer_step(model, anchors: Sequence[np.ndarray],
+                    input_hw: Tuple[int, int],
+                    confidence: float = 0.1,
+                    nms_threshold: float = 0.45,
+                    nms_method: str = 'diou',
+                    use_iol: bool = True,
+                    max_boxes: int = 100,
+                    pre_nms_top_k: int = 1024,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Fused forward + decode + NMS, entirely on device.
+
+    This productionizes the capability the reference left dead in
+    gpu_postprocess.py: one XLA program from pixels to final (boxes,
+    classes, scores, valid) — no host round-trip between model and NMS.
+    Boxes come back as top-left (x, y, w, h) in canvas pixels.
+    """
+    anchors = [np.asarray(a, np.float32) for a in anchors]
+    scale = jnp.asarray([input_hw[1], input_hw[0],
+                         input_hw[1], input_hw[0]], jnp.float32)
+
+    def step(variables, images):
+        if mesh is not None:
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, P('batch')))
+        outs = model.apply(variables, images, train=False)
+        dec = decode_predictions(outs, anchors, input_hw)
+        xy, wh = dec[..., 0:2], dec[..., 2:4]
+        tl = jnp.concatenate([xy - wh / 2.0, wh], axis=-1) * scale
+        scores = dec[..., 4]
+        classes = jnp.argmax(dec[..., 5:], axis=-1)
+        return batched_nms(tl, scores, classes, confidence, nms_threshold,
+                           max_boxes=max_boxes, pre_nms_top_k=pre_nms_top_k,
+                           nms_method=nms_method, use_iol=use_iol)
+
+    return jax.jit(step)

@@ -13,6 +13,14 @@ if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+# The axon sitecustomize imports jax at interpreter start, so env vars set
+# here are too late for jax.config — override through the config API
+# (backends are still uninitialized at conftest time, so XLA_FLAGS above
+# still takes effect for the host platform device count).
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
 # Persistent compilation cache: this box has a single CPU core, so XLA
 # compiles dominate test wall-time; cache them across runs.
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',

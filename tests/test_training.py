@@ -1,0 +1,147 @@
+"""Training-layer tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+sharded train step runs + loss decreases, freeze levels, checkpoint
+round-trip with optimizer state (exact resume)."""
+
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multigriddet_tpu.losses import LossConfig
+from multigriddet_tpu.models.detector import MultiGridDet
+from multigriddet_tpu.models.head import MultiGridHead
+from multigriddet_tpu.ops import encode_targets
+from multigriddet_tpu.training import (CheckpointManager, create_train_state,
+                                       freeze_labels, make_eval_step,
+                                       make_mesh, make_train_step,
+                                       partition_optimizer, shard_batch)
+
+HW = (64, 64)
+C = 3
+ANCHORS = [np.array([[40, 40]], np.float32),
+           np.array([[20, 20]], np.float32),
+           np.array([[10, 10]], np.float32)]
+
+
+class TinyBackbone(nn.Module):
+    out_channels = (16, 24, 32)
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        taps = []
+        for i, ch in enumerate([8, 8, *self.out_channels]):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding='SAME')(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9)(x)
+            x = nn.relu(x)
+            if i >= 2:
+                taps.append(x)
+        return tuple(taps)
+
+
+def tiny_model():
+    bb = TinyBackbone()
+    head = MultiGridHead(num_anchors=(1, 1, 1), num_classes=C,
+                         channels=(16, 12, 8))
+    return MultiGridDet(backbone=bb, head=head)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    model = tiny_model()
+    x = jnp.zeros((8, *HW, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    boxes = np.zeros((8, 4, 5), np.float32)
+    boxes[:, 0] = [10, 10, 50, 50, 1]
+    boxes[:, 1] = [30, 34, 44, 60, 2]
+    y_true = encode_targets(boxes, ANCHORS, C, HW)
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(8, *HW, 3).astype(np.float32))
+    return model, variables, images, y_true
+
+
+def test_train_step_decreases_loss_on_mesh(setup):
+    model, variables, images, y_true = setup
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    tx = optax.adam(1e-3)
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], tx)
+    step = make_train_step(model, tx, ANCHORS, C, HW,
+                           LossConfig(loss_option=2), mesh=mesh,
+                           donate=False)
+    images, = shard_batch(mesh, images)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, images, y_true)
+        losses.append(float(metrics['loss']))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 6
+
+
+def test_eval_step_runs(setup):
+    model, variables, images, y_true = setup
+    mesh = make_mesh()
+    tx = optax.adam(1e-3)
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], tx)
+    ev = make_eval_step(model, ANCHORS, C, HW, mesh=mesh)
+    metrics = ev(state, *shard_batch(mesh, images), y_true)
+    assert np.isfinite(float(metrics['loss']))
+
+
+def test_freeze_level_partitions(setup):
+    model, variables, _, _ = setup
+    labels = freeze_labels(variables['params'], 1)
+    flat = {'/'.join(map(str, k)): v for k, v in
+            __import__('flax').traverse_util.flatten_dict(labels).items()}
+    assert all(v == 'frozen' for k, v in flat.items()
+               if k.startswith('backbone'))
+    assert all(v == 'trainable' for k, v in flat.items()
+               if k.startswith('head'))
+
+
+def test_frozen_backbone_unchanged_by_updates(setup):
+    model, variables, images, y_true = setup
+    tx = partition_optimizer(optax.adam(1e-2), variables['params'], 1)
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], optax.identity())
+    state = state.replace(opt_state=tx.init(variables['params']))
+    step = make_train_step(model, tx, ANCHORS, C, HW, donate=False)
+    new_state, _ = step(state, images, y_true)
+    before = jax.tree_util.tree_leaves(variables['params']['backbone'])
+    after = jax.tree_util.tree_leaves(new_state.params['backbone'])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    hb = jax.tree_util.tree_leaves(variables['params']['head'])
+    ha = jax.tree_util.tree_leaves(new_state.params['head'])
+    assert any(not np.array_equal(np.asarray(b), np.asarray(a))
+               for b, a in zip(hb, ha))
+
+
+def test_checkpoint_roundtrip_with_opt_state(setup, tmp_path):
+    model, variables, images, y_true = setup
+    tx = optax.adam(1e-3)
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], tx)
+    step = make_train_step(model, tx, ANCHORS, C, HW, donate=False)
+    state, _ = step(state, images, y_true)
+    mngr = CheckpointManager(str(tmp_path / 'ckpt'))
+    mngr.save(1, state, {'val_loss': 1.23})
+    template = create_train_state(variables['params'],
+                                  variables['batch_stats'], tx)
+    restored = mngr.restore(template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (true exact resume)
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mngr.close()
