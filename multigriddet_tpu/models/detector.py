@@ -80,6 +80,30 @@ def multigriddet_resnet(**kwargs) -> MultiGridDet:
     return _build(ResNet50, **kwargs)
 
 
+class TinyBackbone(nn.Module):
+    """Minimal 5-stride backbone for smoke tests and CI (not in reference)."""
+
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+    out_channels: Tuple[int, int, int] = (32, 48, 64)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .layers import ConvBN
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        taps = []
+        for i, ch in enumerate((16, 24, *self.out_channels)):
+            x = ConvBN(ch, 3, strides=2, **kw)(x, train)
+            if i >= 2:
+                taps.append(x)
+        return tuple(taps)
+
+
+@register_model('multigriddet_tiny')
+def multigriddet_tiny(**kwargs) -> MultiGridDet:
+    return _build(TinyBackbone, **kwargs)
+
+
 def build_custom(backbone_name: str, head_name: str = 'multigrid',
                  num_anchors=(3, 3, 3), num_classes=80, dtype=jnp.float32,
                  bn_axis_name=None, **head_kwargs) -> MultiGridDet:

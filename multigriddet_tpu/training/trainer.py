@@ -47,8 +47,18 @@ class MultiGridTrainer:
         env = config.get('environment', {}) or {}
         self.compute_dtype = (jnp.bfloat16 if env.get('mixed_precision')
                               else jnp.float32)
-        self.mesh = mesh if mesh is not None else make_mesh()
         self.training_cfg = config.get('training', {}) or {}
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            # use the largest device count that divides the batch size so
+            # the batch shards evenly over the mesh
+            batch = int(self.training_cfg.get('batch_size', 8))
+            devices = jax.devices()
+            n = len(devices)
+            while n > 1 and batch % n != 0:
+                n -= 1
+            self.mesh = make_mesh(devices[:n])
         self.output_cfg = config.get('output', {}) or {}
         self.callbacks_cfg = config.get('callbacks', {}) or {}
         self.history = []

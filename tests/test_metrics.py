@@ -1,0 +1,152 @@
+"""mAP metric golden tests (hand-computable fixtures) + WBF + config layer."""
+
+import numpy as np
+import pytest
+
+from multigriddet_tpu.evaluation.metrics import (average_precision,
+                                                 calculate_map, iou_matrix,
+                                                 match_detections)
+from multigriddet_tpu.postprocess import weighted_boxes_fusion
+
+
+def test_iou_matrix_basic():
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 5, 10, 10], [20, 20, 5, 5]],
+                 np.float32)
+    m = iou_matrix(a, b)
+    np.testing.assert_allclose(m[0, 0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(m[0, 1], 25 / 175, atol=1e-5)
+    np.testing.assert_allclose(m[0, 2], 0.0)
+
+
+def test_match_detections_greedy_order():
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    preds = np.array([[0, 0, 10, 10], [1, 1, 10, 10]], np.float32)
+    scores = np.array([0.5, 0.9], np.float32)
+    tp = match_detections(preds, scores, gt, 0.5)
+    # higher-scored (overlapping) box takes the GT first
+    assert tp.tolist() == [False, True]
+
+
+def test_average_precision_perfect():
+    recalls = np.array([0.5, 1.0])
+    precisions = np.array([1.0, 1.0])
+    assert average_precision(recalls, precisions, 'coco') == pytest.approx(1.0)
+    assert average_precision(recalls, precisions, 'voc') == pytest.approx(
+        1.0, abs=0.1)
+
+
+def test_calculate_map_perfect_and_miss():
+    gts = {0: {'boxes': np.array([[0, 0, 10, 10], [50, 50, 40, 40]],
+                                 np.float32),
+               'classes': np.array([0, 1], np.int32)}}
+    # perfect detector
+    preds = {0: {'boxes': gts[0]['boxes'].copy(),
+                 'classes': gts[0]['classes'].copy(),
+                 'scores': np.array([0.9, 0.8], np.float32)}}
+    r = calculate_map(preds, gts, 2, iou_thresholds=[0.5, 0.75],
+                      compute_size_breakdown=True)
+    assert r['mAP50'] == pytest.approx(1.0)
+    assert r['mAP'] == pytest.approx(1.0)
+    # small box (10x10=100 < 32^2) and medium box (40x40=1600)
+    assert r['mAP_small'] == pytest.approx(1.0)
+    assert r['mAP_medium'] == pytest.approx(1.0)
+
+    # detector that misses class 1 entirely
+    preds2 = {0: {'boxes': gts[0]['boxes'][:1],
+                  'classes': np.array([0], np.int32),
+                  'scores': np.array([0.9], np.float32)}}
+    r2 = calculate_map(preds2, gts, 2, iou_thresholds=[0.5])
+    assert r2['mAP50'] == pytest.approx(0.5)
+
+
+def test_calculate_map_false_positive_lowers_precision():
+    gts = {0: {'boxes': np.array([[0, 0, 10, 10]], np.float32),
+               'classes': np.array([0], np.int32)}}
+    preds = {0: {'boxes': np.array([[0, 0, 10, 10], [100, 100, 10, 10]],
+                                   np.float32),
+                 'classes': np.array([0, 0], np.int32),
+                 'scores': np.array([0.6, 0.9], np.float32)}}
+    r = calculate_map(preds, gts, 1, iou_thresholds=[0.5])
+    # FP ranked above TP: precision at recall 1.0 is 0.5
+    assert r['mAP50'] == pytest.approx(0.5)
+
+
+def test_wbf_fuses_overlapping_boxes():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 10, 10], [50, 50, 8, 8]],
+                     np.float32)
+    scores = np.array([0.8, 0.6, 0.9], np.float32)
+    classes = np.array([0, 0, 0], np.int32)
+    fb, fs, fc = weighted_boxes_fusion(boxes, scores, classes, iou_thr=0.5)
+    assert len(fb) == 2
+    # first cluster fused by score weighting: x in (0, 1)
+    fused = fb[fs != 0.9][0] if fs[0] == 0.9 else fb[0]
+    cluster = fb[np.argmin(np.abs(fs - 0.7))]
+    assert 0.0 < cluster[0] < 1.0
+
+
+def test_wbf_respects_classes():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 10, 10]], np.float32)
+    scores = np.array([0.8, 0.6], np.float32)
+    classes = np.array([0, 1], np.int32)
+    fb, fs, fc = weighted_boxes_fusion(boxes, scores, classes, iou_thr=0.5)
+    assert len(fb) == 2  # different classes never fuse
+
+
+def test_config_loader_merge_and_validation(tmp_path):
+    import yaml
+    from multigriddet_tpu.config import ConfigError, load_config
+
+    model_cfg = tmp_path / 'model.yaml'
+    model_cfg.write_text(yaml.safe_dump({
+        'model': {'preset': {'architecture': 'multigriddet_tiny',
+                             'num_classes': 2}}}))
+    train_cfg = tmp_path / 'train.yaml'
+    train_cfg.write_text(yaml.safe_dump({
+        'model_config': 'model.yaml',
+        'data': {'train_annotation': 'x.txt'},
+        'training': {'batch_size': 2, 'loss_option': 2},
+    }))
+    cfg = load_config(str(train_cfg), config_type='train')
+    assert cfg['model']['preset']['architecture'] == 'multigriddet_tiny'
+    assert cfg['training']['batch_size'] == 2
+    # path resolution: relative .txt resolved against the config dir
+    assert cfg['data']['train_annotation'].startswith(str(tmp_path))
+
+    bad = tmp_path / 'bad.yaml'
+    bad.write_text(yaml.safe_dump({
+        'data': {}, 'training': {'loss_option': 7}}))
+    with pytest.raises(ConfigError):
+        load_config(str(bad), config_type='train')
+
+
+def test_optimizer_and_lr_factories():
+    from multigriddet_tpu.config import (create_optimizer_from_config,
+                                         make_lr_schedule,
+                                         resolve_learning_rate)
+    cfg = {'training': {'learning_rate': 1e-4},
+           'optimizer': {'type': 'adamw', 'learning_rate': 5e-3},
+           'lr_schedule': {'type': 'cosine_annealing', 'warmup_epochs': 1,
+                           'warmup_lr_factor': 0.1, 'min_lr': 1e-6}}
+    # training.learning_rate wins (reference model_builder.py:44-54)
+    assert resolve_learning_rate(cfg) == pytest.approx(1e-4)
+    tx = create_optimizer_from_config(cfg)
+    assert tx is not None
+    sched = make_lr_schedule(cfg, steps_per_epoch=10, total_epochs=10)
+    assert sched(0) == pytest.approx(1e-5, rel=1e-2)    # warmup start
+    assert sched(10) == pytest.approx(1e-4, rel=1e-2)   # peak after warmup
+    assert sched(100) == pytest.approx(1e-6, rel=1e-1)  # decayed to min
+    for kind in ('adam', 'sgd'):
+        assert create_optimizer_from_config(
+            {'optimizer': {'type': kind}}) is not None
+
+
+def test_class_weight_helpers():
+    from multigriddet_tpu.utils import (class_counts_from_annotations,
+                                        compute_class_weights)
+    lines = ['img.jpg 0,0,10,10,0 5,5,20,20,0 1,1,9,9,1']
+    counts = class_counts_from_annotations(lines, 3)
+    assert counts.tolist() == [2, 1, 0]
+    w = compute_class_weights([100, 10, 1], 'balanced')
+    assert w[2] > w[1] > w[0]
+    assert (w >= 0.1).all() and (w <= 10.0).all()

@@ -1,0 +1,72 @@
+"""Keras-h5 -> flax weight porting: numerics parity on a mini ConvBN net.
+
+Builds an independent Keras model with the same structure as a small flax
+ConvBN stack, saves its weights to HDF5, ports them, and checks the two
+frameworks produce the same activations (incl. BN moving statistics, the
+part the reference had to patch manually — multigriddet_darknet.py:229-276).
+"""
+
+import numpy as np
+import pytest
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multigriddet_tpu.models.layers import ConvBN, PredictConv
+from multigriddet_tpu.models.porting import port_keras_weights
+
+tf = pytest.importorskip('tensorflow')
+
+
+class MiniFlax(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = ConvBN(8, 3)(x, train)
+        x = ConvBN(16, 3, strides=2)(x, train)
+        return PredictConv(4)(x)
+
+
+def _mini_keras():
+    from tensorflow.keras import layers as L
+    inp = L.Input(shape=(16, 16, 3))
+    x = L.Conv2D(8, 3, padding='same', use_bias=False)(inp)
+    x = L.BatchNormalization(epsilon=1e-3)(x)
+    x = L.LeakyReLU(negative_slope=0.1)(x)
+    x = L.ZeroPadding2D(((1, 0), (1, 0)))(x)
+    x = L.Conv2D(16, 3, strides=2, padding='valid', use_bias=False)(x)
+    x = L.BatchNormalization(epsilon=1e-3)(x)
+    x = L.LeakyReLU(negative_slope=0.1)(x)
+    out = L.Conv2D(4, 1, padding='same')(x)
+    return tf.keras.Model(inp, out)
+
+
+def test_port_roundtrip_numerics(tmp_path):
+    keras_model = _mini_keras()
+    # randomize BN stats so moving-stat porting is actually exercised
+    rng = np.random.RandomState(0)
+    for layer in keras_model.layers:
+        ws = layer.get_weights()
+        layer.set_weights([rng.randn(*w.shape).astype(np.float32) * 0.5
+                           + (1.0 if w.ndim == 1 else 0.0) * 0
+                           for w in ws] if ws else ws)
+    # keep BN variance positive
+    for layer in keras_model.layers:
+        if isinstance(layer, tf.keras.layers.BatchNormalization):
+            g, b, m, v = layer.get_weights()
+            layer.set_weights([g, b, m, np.abs(v) + 0.5])
+
+    h5 = tmp_path / 'mini.weights.h5'
+    keras_model.save_weights(str(h5))
+
+    model = MiniFlax()
+    x = np.random.RandomState(1).rand(2, 16, 16, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    ported = port_keras_weights(str(h5), variables)
+
+    got = np.asarray(model.apply(
+        {'params': ported['params'], 'batch_stats': ported['batch_stats']},
+        jnp.asarray(x), train=False))
+    want = keras_model(x, training=False).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

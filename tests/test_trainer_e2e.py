@@ -1,0 +1,123 @@
+"""End-to-end trainer smoke: synthetic dataset -> train.py config ->
+MultiGridTrainer.train() -> checkpoint + final weights + history, then the
+evaluator consumes the trained weights.  Exercises config loading, the data
+pipeline on real (synthetic) JPEG files, two-stage freeze, checkpointing,
+and the eval path — the full reference train/eval call stacks
+(SURVEY.md §3.1/§3.3) in miniature."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image, ImageDraw
+
+
+@pytest.fixture(scope='module')
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp('ds')
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(8):
+        img = Image.fromarray(
+            rng.randint(0, 255, (80, 96, 3)).astype('uint8'))
+        d = ImageDraw.Draw(img)
+        x1, y1 = rng.randint(5, 30), rng.randint(5, 25)
+        x2, y2 = x1 + rng.randint(25, 50), y1 + rng.randint(25, 45)
+        cls = i % 2
+        d.rectangle([x1, y1, x2, y2],
+                    fill=(250, 20, 20) if cls == 0 else (20, 250, 20))
+        p = root / f'img_{i}.jpg'
+        img.save(p)
+        lines.append(f'{p} {x1},{y1},{x2},{y2},{cls}')
+    ann = root / 'train.txt'
+    ann.write_text('\n'.join(lines) + '\n')
+    classes = root / 'classes.txt'
+    classes.write_text('red\ngreen\n')
+    anchors = root / 'anchors.txt'
+    anchors.write_text('40,40\n20,20\n10,10\n')
+    return root, ann, classes, anchors
+
+
+def _write_config(root, ann, classes, anchors, out_dir):
+    cfg = {
+        'model': {
+            'type': 'preset',
+            'preset': {
+                'architecture': 'multigriddet_tiny',
+                'num_classes': 2,
+                'input_shape': [64, 64, 3],
+                'anchors_path': str(anchors),
+                'classes_path': str(classes),
+            },
+        },
+        'data': {
+            'train_annotation': str(ann),
+            'val_annotation': str(ann),
+            'classes_path': str(classes),
+        },
+        'training': {
+            'batch_size': 4,
+            'epochs': 2,
+            'transfer_epochs': 1,
+            'freeze_level': 1,
+            'learning_rate': 1e-3,
+            'loss_option': 2,
+            'augmentation': {
+                'enabled': True, 'mosaic_prob': 0.3, 'mixup_prob': 0.1,
+                'max_boxes_per_image': 10,
+            },
+        },
+        'optimizer': {'type': 'adam'},
+        'lr_schedule': {'type': 'cosine_annealing', 'warmup_epochs': 1},
+        'callbacks': {
+            'checkpoint': {'save_dir': str(out_dir / 'ckpt')},
+            'early_stopping': {'patience': 0},
+        },
+        'output': {
+            'log_dir': str(out_dir / 'logs'),
+            'model_dir': str(out_dir / 'models'),
+        },
+    }
+    path = root / 'train_config.yaml'
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+def test_trainer_end_to_end(dataset, tmp_path):
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import MultiGridTrainer
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+    config = load_config(str(cfg_path), config_type='train')
+    trainer = MultiGridTrainer(config)
+    history = trainer.train()
+    assert len(history) == 2
+    assert all(np.isfinite(h['loss']) for h in history)
+    # two-stage: one frozen epoch then one unfrozen epoch
+    final = tmp_path / 'models' / 'final_model.msgpack'
+    assert final.exists()
+    hist_file = tmp_path / 'logs' / 'history.jsonl'
+    records = [json.loads(l) for l in hist_file.read_text().splitlines()]
+    assert len(records) == 2
+    assert 'val_loss' in records[0]
+
+    # evaluator consumes the trained weights
+    from multigriddet_tpu.evaluation import MultiGridEvaluator
+    eval_cfg = {
+        'model': config['model'],
+        'weights_path': str(final),
+        'data': {'annotation': str(ann), 'classes_path': str(classes)},
+        'evaluation': {
+            'batch_size': 4, 'input_shape': [64, 64, 3],
+            'confidence_threshold': 0.05, 'max_images': 4,
+            'iou_thresholds': [0.5], 'save_results': False,
+        },
+    }
+    ev = MultiGridEvaluator(eval_cfg)
+    results = ev.evaluate()
+    assert 'mAP50' in results and np.isfinite(results['mAP50'])
+    assert results['num_images'] == 4
+    ev.print_results()
