@@ -1,4 +1,5 @@
-from .decode import decode_predictions, decode_scale, xy_activation
+from .decode import (decode_predictions, decode_scale,
+                     invert_xy_activation, xy_activation)
 from .encoding import (encode_targets, encode_targets_np,
                        extract_center_gt_boxes, flatten_anchors,
                        match_anchors)
@@ -9,7 +10,8 @@ from .geometry import (cxcywh_to_xyxy, iol_wh, iou_wh,
 from .nms import batched_nms
 
 __all__ = [
-    'decode_predictions', 'decode_scale', 'xy_activation',
+    'decode_predictions', 'decode_scale', 'invert_xy_activation',
+    'xy_activation',
     'encode_targets', 'encode_targets_np', 'extract_center_gt_boxes',
     'flatten_anchors', 'match_anchors',
     'cxcywh_to_xyxy', 'iol_wh', 'iou_wh', 'pairwise_diou_xywh_topleft',

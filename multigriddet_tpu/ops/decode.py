@@ -29,6 +29,22 @@ def xy_activation(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.tanh(0.15 * t) + jax.nn.sigmoid(0.15 * t)
 
 
+def invert_xy_activation(y: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
+    """Newton inversion of ``xy_activation`` (reference
+    generators.py:2635-2693).  Valid for y in the open range (-1, 2)."""
+    y = jnp.clip(y, -1.0 + 1e-4, 2.0 - 1e-4)
+    x = jnp.zeros_like(y)
+
+    def body(_, x):
+        s = jax.nn.sigmoid(0.15 * x)
+        th = jnp.tanh(0.15 * x)
+        fx = th + s - y
+        dfx = 0.15 * (1.0 - th * th) + 0.15 * s * (1.0 - s)
+        return x - fx / jnp.maximum(dfx, 1e-4)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
 def decode_scale(prediction: jnp.ndarray,
                  anchors: jnp.ndarray,
                  input_hw: Tuple[int, int],

@@ -1,0 +1,19 @@
+"""Parallelism layer: device meshes, sharding helpers, collectives.
+
+The reference is single-device (SURVEY.md §2.8: no tf.distribute/NCCL/MPI
+anywhere; multi-GPU was a "future enhancement", README.md:652).  Here data
+parallelism is first-class: a 1-D ``jax.sharding.Mesh`` with the batch
+dimension sharded and parameters replicated.  XLA (GSPMD) inserts the
+gradient all-reduces and turns BatchNorm batch-axis reductions into
+cross-device collectives that ride the ICI — no hand-written comms layer.
+
+These helpers are re-exported by ``multigriddet_tpu.training``.
+"""
+
+from .mesh import (data_parallel_sharding, make_mesh, replicate,
+                   replicated_sharding, shard_batch)
+
+__all__ = [
+    'data_parallel_sharding', 'make_mesh', 'replicate',
+    'replicated_sharding', 'shard_batch',
+]

@@ -23,26 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..losses import LossConfig, multigrid_loss
 from ..ops.decode import decode_predictions
 from ..ops.nms import batched_nms
+from ..parallel import make_mesh, replicate, shard_batch  # noqa: F401
 from .state import TrainState
-
-
-def make_mesh(devices: Optional[Sequence] = None,
-              axis_name: str = 'batch') -> Mesh:
-    """A 1-D data-parallel mesh over all (or the given) devices."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
-    return Mesh(devices, (axis_name,))
-
-
-def shard_batch(mesh: Mesh, *arrays, axis_name: str = 'batch'):
-    """Place host arrays on the mesh, sharded along dim 0."""
-    sharding = NamedSharding(mesh, P(axis_name))
-    return tuple(jax.device_put(a, sharding) for a in arrays)
-
-
-def replicate(mesh: Mesh, tree):
-    """Fully replicate a pytree across the mesh."""
-    sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
 
 
 def make_train_step(model, tx: optax.GradientTransformation,

@@ -1,9 +1,11 @@
 """Utility layer: anchors, classes, visualization, profiling."""
 
+from .profiling import PhaseTimer, trace
 from .anchors import (DEFAULT_COCO_ANCHORS, class_counts_from_annotations,
                       compute_class_weights, load_anchors, load_classes)
 
 __all__ = [
     'DEFAULT_COCO_ANCHORS', 'class_counts_from_annotations',
     'compute_class_weights', 'load_anchors', 'load_classes',
+    'PhaseTimer', 'trace',
 ]

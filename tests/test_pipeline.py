@@ -1,0 +1,91 @@
+"""Host loader + full data-generator pipeline tests (synthetic files)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multigriddet_tpu.data import (HostImageLoader, MultiGridDataGenerator,
+                                   load_and_letterbox,
+                                   parse_annotation_line)
+from multigriddet_tpu.ops import invert_xy_activation, xy_activation
+
+ANCHORS = [np.array([[40, 40]], np.float32),
+           np.array([[20, 20]], np.float32),
+           np.array([[10, 10]], np.float32)]
+
+
+@pytest.fixture(scope='module')
+def files(tmp_path_factory):
+    root = tmp_path_factory.mktemp('imgs')
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(6):
+        # non-square images exercise the letterbox
+        img = Image.fromarray(
+            rng.randint(0, 255, (60 + 10 * i, 100, 3)).astype('uint8'))
+        p = root / f'i{i}.jpg'
+        img.save(p)
+        lines.append(f'{p} 10,10,60,50,{i % 3} 20,15,80,55,{(i + 1) % 3}')
+    return lines
+
+
+def test_parse_annotation_line(files):
+    path, boxes = parse_annotation_line(files[0])
+    assert boxes.shape == (2, 5)
+    assert boxes[0].tolist() == [10, 10, 60, 50, 0]
+
+
+def test_load_and_letterbox_box_transform(files):
+    img, boxes = load_and_letterbox(files[0], (64, 64), max_boxes=5)
+    assert img.shape == (64, 64, 3)
+    assert img.dtype == np.uint8
+    # 100x60 image -> scale 0.64, content 64x38, pad_y = 13
+    valid = boxes[(boxes[:, 2] - boxes[:, 0]) > 0]
+    assert len(valid) == 2
+    np.testing.assert_allclose(valid[0, 0], 10 * 0.64, atol=1.0)
+    np.testing.assert_allclose(valid[0, 1], 10 * 0.64 + 13, atol=1.5)
+
+
+def test_host_loader_batch_and_bad_path(files):
+    loader = HostImageLoader(files, (64, 64), max_boxes=4, num_workers=2)
+    imgs, boxes = loader.load_batch(files[:3] + ['/nonexistent.jpg 1,1,2,2,0'])
+    assert imgs.shape == (4, 64, 64, 3)
+    assert boxes.shape == (4, 4, 5)
+    # bad path falls back to a gray frame with no boxes
+    assert (imgs[3] == 128).all()
+    assert (boxes[3] == 0).all()
+    loader.close()
+
+
+def test_generator_iterates_and_encodes(files):
+    gen = MultiGridDataGenerator(
+        files, ANCHORS, 3, (64, 64), batch_size=2, max_boxes=4,
+        augment={'enabled': True, 'mosaic_prob': 0.0, 'mixup_prob': 0.0},
+        train=True, seed=1)
+    n = 0
+    for images, y_true, boxes in gen:
+        assert images.shape == (2, 64, 64, 3)
+        assert len(y_true) == 3
+        total_pos = sum(float(np.asarray(t)[..., 4].sum()) for t in y_true)
+        assert total_pos > 0
+        n += 1
+    assert n == len(gen) == 3
+    gen.close()
+
+
+def test_multiscale_buckets(files):
+    gen = MultiGridDataGenerator(
+        files, ANCHORS, 3, (416, 416), batch_size=2, max_boxes=4,
+        augment={'enabled': False}, train=True, rescale_interval=1, seed=3)
+    shapes = {gen._pick_shape(i) for i in range(12)}
+    assert len(shapes) > 1                       # actually resamples
+    assert all(s[0] % 32 == 0 and s[0] <= 416 for s in shapes)
+    gen.close()
+
+
+def test_invert_xy_activation_roundtrip():
+    import jax.numpy as jnp
+    y = jnp.asarray(np.linspace(-0.95, 1.95, 30, dtype=np.float32))
+    x = invert_xy_activation(y)
+    np.testing.assert_allclose(np.asarray(xy_activation(x)), np.asarray(y),
+                               atol=1e-4)
