@@ -108,7 +108,7 @@ class MultiGridEvaluator:
         for start in range(0, len(lines), self.batch_size):
             chunk = lines[start:start + self.batch_size]
             batch_arr = np.zeros(
-                (self.batch_size, *self.input_hw, 3), np.float32)
+                (self.batch_size, *self.input_hw, 3), np.uint8)
             metas = []
             for bi, line in enumerate(chunk):
                 img_path, gt_boxes = parse_annotation_line(line)
@@ -121,7 +121,7 @@ class MultiGridEvaluator:
                                       np.asarray(img)))
                     else:
                         metas.append((start + bi, gt_boxes, ih, iw, None))
-                batch_arr[bi] = arr.astype(np.float32) / 255.0
+                batch_arr[bi] = arr
 
             t0 = time.time()
             bxs, cls, scs, valid = self._infer(

@@ -77,7 +77,7 @@ class MultiGridInference:
         classes [N], scores [N]).
         """
         arr, _, _, _ = letterbox_image(image.convert('RGB'), self.input_hw)
-        batch = jnp.asarray(arr, jnp.float32)[None] / 255.0
+        batch = jnp.asarray(arr)[None]  # uint8; normalized on device
         bxs, cls, scs, valid = self._infer(self.variables, batch)
         bxs, cls, scs, valid = (np.asarray(bxs[0]), np.asarray(cls[0]),
                                 np.asarray(scs[0]), np.asarray(valid[0]))

@@ -114,7 +114,7 @@ def _cluster_nms_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=('max_boxes', 'pre_nms_top_k', 'nms_method', 'use_iol',
-                     'class_aware', 'soft_sigma'))
+                     'class_aware', 'soft_sigma', 'backend'))
 def batched_nms(boxes: jnp.ndarray,
                 scores: jnp.ndarray,
                 classes: jnp.ndarray,
@@ -125,7 +125,8 @@ def batched_nms(boxes: jnp.ndarray,
                 nms_method: str = 'diou',
                 use_iol: bool = True,
                 class_aware: bool = False,
-                soft_sigma: float = 0.5
+                soft_sigma: float = 0.5,
+                backend: str = 'xla'
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Confidence filter + NMS, fixed shapes, batched.
 
@@ -164,7 +165,13 @@ def batched_nms(boxes: jnp.ndarray,
             if nms_method == 'cluster':
                 overlap = _overlap_matrix(nms_bx, 'standard', use_iol)
                 keep = _cluster_nms_sweep(overlap, valid, nms_threshold)
-            else:  # 'standard' | 'diou'
+            elif backend == 'pallas':
+                # fused VMEM-resident sweep (ops/pallas_nms.py); identical
+                # keep set, single HBM read/write
+                from .pallas_nms import pallas_greedy_nms
+                keep = pallas_greedy_nms(nms_bx, valid, nms_threshold,
+                                         nms_method, use_iol)
+            else:  # 'standard' | 'diou' via XLA
                 overlap = _overlap_matrix(nms_bx, nms_method, use_iol)
                 keep = _greedy_sweep(overlap, valid, nms_threshold)
             keep_sc = jnp.where(keep, top_sc, NEG_INF)

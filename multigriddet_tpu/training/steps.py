@@ -120,6 +120,10 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
         if mesh is not None:
             images = jax.lax.with_sharding_constraint(
                 images, NamedSharding(mesh, P('batch')))
+        if images.dtype == jnp.uint8:
+            # ship uint8 over the host link (4x less traffic than f32)
+            # and normalize on device
+            images = images.astype(jnp.float32) / 255.0
         outs = model.apply(variables, images, train=False)
         dec = decode_predictions(outs, anchors, input_hw)
         xy, wh = dec[..., 0:2], dec[..., 2:4]
