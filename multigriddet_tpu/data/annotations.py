@@ -81,32 +81,71 @@ def load_and_letterbox(line: str, target_hw: Tuple[int, int],
 
 
 class HostImageLoader:
-    """Thread-pooled image decode + letterbox producing numpy batches.
+    """Image decode + letterbox producing numpy batches.
 
     Replaces the reference's tf.data/Sequence dual loader
     (generators.py:1639-1696): the host only decodes and letterboxes;
     everything else (augmentation, encoding) runs on device.
+
+    JPEG files go through the native C++ loader (native/fastloader.cpp:
+    libjpeg DCT-domain downscaling + bilinear letterbox on GIL-free OS
+    threads) when it is available; everything else — and any file the
+    native path rejects — falls back to PIL on a thread pool.
     """
 
     def __init__(self, lines: Sequence[str], target_hw: Tuple[int, int],
-                 max_boxes: int = 100, num_workers: int = 8):
+                 max_boxes: int = 100, num_workers: int = 8,
+                 use_native: bool = True):
         self.lines = list(lines)
         self.target_hw = tuple(target_hw)
         self.max_boxes = max_boxes
+        self.num_workers = num_workers
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
+        if use_native:
+            from .native import native_available
+            self.use_native = native_available()
+        else:
+            self.use_native = False
 
-    def load_batch(self, batch_lines: Sequence[str],
-                   target_hw: Optional[Tuple[int, int]] = None):
-        hw = target_hw or self.target_hw
-
+    def _load_batch_pil(self, batch_lines, hw, indices=None):
         def safe(line):
             try:
                 return load_and_letterbox(line, hw, self.max_boxes)
             except (OSError, ValueError):
                 return (np.full((*hw, 3), 128, np.uint8),
                         np.zeros((self.max_boxes, 5), np.float32))
+        return list(self.pool.map(safe, batch_lines))
 
-        results = list(self.pool.map(safe, batch_lines))
+    def load_batch(self, batch_lines: Sequence[str],
+                   target_hw: Optional[Tuple[int, int]] = None):
+        hw = target_hw or self.target_hw
+        parsed = [parse_annotation_line(l) for l in batch_lines]
+        paths = [p for p, _ in parsed]
+        jpeg = all(p.lower().endswith(('.jpg', '.jpeg')) for p in paths)
+        if self.use_native and jpeg and paths:
+            from .native import load_letterbox_batch
+            images, metas, ok = load_letterbox_batch(
+                paths, hw, nthreads=self.num_workers)
+            boxes = np.zeros((len(paths), self.max_boxes, 5), np.float32)
+            for i, (_, b) in enumerate(parsed):
+                if not ok[i]:
+                    continue
+                scale, pad_x, pad_y = metas[i, 0], metas[i, 1], metas[i, 2]
+                n = min(len(b), self.max_boxes)
+                if n:
+                    bb = b[:n].copy()
+                    bb[:, [0, 2]] = bb[:, [0, 2]] * scale + pad_x
+                    bb[:, [1, 3]] = bb[:, [1, 3]] * scale + pad_y
+                    boxes[i, :n] = bb
+            # PIL fallback for any failed decode
+            bad = np.where(~ok)[0]
+            if len(bad):
+                results = self._load_batch_pil(
+                    [batch_lines[i] for i in bad], hw)
+                for j, i in enumerate(bad):
+                    images[i], boxes[i] = results[j]
+            return images, boxes
+        results = self._load_batch_pil(batch_lines, hw)
         images = np.stack([r[0] for r in results])
         boxes = np.stack([r[1] for r in results])
         return images, boxes

@@ -115,6 +115,21 @@ def random_hue(key, images, boxes, max_delta=0.1, prob=0.5):
     return jnp.clip(out, 0.0, 255.0), boxes
 
 
+def random_blur(key, images, boxes, prob=0.1):
+    """Light 3x3 box blur (parity with the legacy PIL/imgaug blur augs,
+    reference data/augmentation.py).  Depthwise conv on the VPU."""
+    b = images.shape[0]
+    apply = jax.random.uniform(key, (b, 1, 1, 1)) < prob
+    pad = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    acc = jnp.zeros_like(images)
+    h, w = images.shape[1], images.shape[2]
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + pad[:, dy:dy + h, dx:dx + w, :]
+    blurred = acc / 9.0
+    return jnp.where(apply, blurred, images), boxes
+
+
 def random_grayscale(key, images, boxes, prob=0.1):
     b = images.shape[0]
     apply = jax.random.uniform(key, (b, 1, 1, 1)) < prob

@@ -1,0 +1,86 @@
+"""ctypes bindings for the native C++ host loader (native/fastloader.cpp).
+
+Builds the shared library on first use (g++ + system libjpeg) and falls
+back cleanly to the PIL path when unavailable.  The native loader decodes
+JPEGs with DCT-domain downscaling and letterboxes on true OS threads (no
+GIL), replacing the reference's thread-pooled PIL loading
+(multigriddet/data/generators.py:1639-1696).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), '..', '..', 'native')
+_LIB_PATH = os.path.abspath(
+    os.path.join(_NATIVE_DIR, 'libmgdfastloader.so'))
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(['make', '-C', os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.mgd_load_letterbox_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
+    lib.mgd_load_letterbox_batch.restype = None
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def load_letterbox_batch(paths: Sequence[str], target_hw: Tuple[int, int],
+                         nthreads: int = 8):
+    """Decode + letterbox a batch natively.
+
+    Returns (images [N, th, tw, 3] u8, metas [N, 5] f32
+    (scale, pad_x, pad_y, full_w, full_h), ok [N] bool).
+    Raises RuntimeError if the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError('native fastloader unavailable')
+    th, tw = target_hw
+    n = len(paths)
+    images = np.empty((n, th, tw, 3), np.uint8)
+    metas = np.zeros((n, 5), np.float32)
+    status = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(
+        *[p.encode('utf-8') for p in paths])
+    lib.mgd_load_letterbox_batch(
+        c_paths, n, th, tw,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        metas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        nthreads)
+    return images, metas, status == 0

@@ -70,6 +70,9 @@ def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
         images, boxes = A.random_hue(keys[5], images, boxes)
         images, boxes = A.random_grayscale(
             keys[6], images, boxes, prob=cfg.get('grayscale_prob', 0.1))
+        if cfg.get('blur_prob', 0.0) > 0:
+            images, boxes = A.random_blur(keys[11], images, boxes,
+                                          prob=cfg['blur_prob'])
         images, boxes = A.random_rotate90(
             keys[7], images, boxes, prob=cfg.get('rotate_prob', 0.05))
         if cfg.get('enhance_type') == 'gridmask':

@@ -267,7 +267,8 @@ def multigrid_loss(y_pred: Sequence[jnp.ndarray],
                    num_classes: int,
                    input_hw: Tuple[int, int],
                    cfg: LossConfig = LossConfig(),
-                   class_weights: Optional[jnp.ndarray] = None
+                   class_weights: Optional[jnp.ndarray] = None,
+                   strides: Optional[Sequence[int]] = None
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Compute the MultiGridDet loss over all scales.
 
@@ -276,9 +277,14 @@ def multigrid_loss(y_pred: Sequence[jnp.ndarray],
       y_true: per-scale targets, same layout, already activated.
       anchors: per-layer ``[A_l, 2]`` anchor arrays (canvas pixels).
       num_classes: C.
-      input_hw: model canvas (h, w).
+      input_hw: nominal model canvas (h, w) — used only to derive the
+        per-layer strides when ``strides`` is None.
       cfg: static LossConfig.
       class_weights: optional ``[C]`` per-class weights (default ones).
+      strides: per-layer feature strides.  The grid-to-canvas scale is an
+        architectural constant (32/16/8 for the 3-scale head), so passing
+        it explicitly keeps the loss correct under multi-scale training
+        where the actual canvas differs from ``input_hw``.
 
     Returns:
       (scalar total loss, metrics dict with per-component breakdown).
@@ -299,7 +305,10 @@ def multigrid_loss(y_pred: Sequence[jnp.ndarray],
         anc = jnp.asarray(anchors[l], jnp.float32)
         na = anc.shape[0]
         _, gh, gw, _ = pred.shape
-        stride_hw = (input_hw[0] / gh, input_hw[1] / gw)
+        if strides is not None:
+            stride_hw = (float(strides[l]), float(strides[l]))
+        else:
+            stride_hw = (input_hw[0] / gh, input_hw[1] / gw)
 
         pred_xy, pred_wh = pred[..., 0:2], pred[..., 2:4]
         pred_obj = pred[..., 4:5]
@@ -328,7 +337,7 @@ def multigrid_loss(y_pred: Sequence[jnp.ndarray],
             # cancels, anchors come from the GT one-hot.
             sel = jnp.argmax(true_anchor, axis=-1)
             anc_wh = anc[sel] / jnp.asarray(
-                [input_hw[1] / gw, input_hw[0] / gh], jnp.float32)
+                [stride_hw[1], stride_hw[0]], jnp.float32)
             p_box_xy = xy_activation(pred_xy)
             p_box_wh = jnp.exp(pred_wh) * anc_wh
             t_box_wh = jnp.exp(true_wh) * anc_wh

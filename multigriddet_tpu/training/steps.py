@@ -33,7 +33,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     loss_cfg: LossConfig = LossConfig(),
                     class_weights: Optional[jnp.ndarray] = None,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    strides: Tuple[int, ...] = (32, 16, 8)) -> Callable:
     """Build the jitted train step: (state, images, y_true) -> (state, metrics).
 
     With ``mesh``, inputs are expected batch-sharded and state replicated;
@@ -48,7 +49,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
             train=True, mutable=['batch_stats'])
         total, metrics = multigrid_loss(
             outs, list(y_true), anchors, num_classes, input_hw, loss_cfg,
-            class_weights)
+            class_weights, strides=strides)
         return total, (mut['batch_stats'], metrics)
 
     def step(state: TrainState, images, y_true):
@@ -75,7 +76,8 @@ def make_eval_step(model, anchors: Sequence[np.ndarray], num_classes: int,
                    input_hw: Tuple[int, int],
                    loss_cfg: LossConfig = LossConfig(),
                    class_weights: Optional[jnp.ndarray] = None,
-                   mesh: Optional[Mesh] = None) -> Callable:
+                   mesh: Optional[Mesh] = None,
+                   strides: Tuple[int, ...] = (32, 16, 8)) -> Callable:
     """Validation step: forward (frozen BN stats) + loss metrics."""
     anchors = [np.asarray(a, np.float32) for a in anchors]
 
@@ -88,7 +90,7 @@ def make_eval_step(model, anchors: Sequence[np.ndarray], num_classes: int,
             images, train=False)
         total, metrics = multigrid_loss(
             outs, list(y_true), anchors, num_classes, input_hw, loss_cfg,
-            class_weights)
+            class_weights, strides=strides)
         metrics = dict(metrics)
         metrics['loss'] = total
         return metrics

@@ -162,8 +162,11 @@ class MultiGridTrainer:
                 print(f'  epoch {epoch} step {n}/{len(self.train_gen)} '
                       f"loss={m['loss']:.4f} loc={m['location']:.4f} "
                       f"obj={m['objectness']:.4f}")
+            # accumulate on device; fetch once per epoch (a per-step host
+            # sync would serialize every step on the host link RTT)
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+                agg[k] = agg.get(k, 0.0) + v
+        agg = {k: float(v) for k, v in agg.items()}
         dt = time.time() - t0
         avg = {k: v / max(n, 1) for k, v in agg.items()}
         avg['epoch_time_s'] = dt
@@ -180,9 +183,9 @@ class MultiGridTrainer:
             images, = shard_batch(self.mesh, images)
             metrics = eval_step(state, images, y_true)
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+                agg[k] = agg.get(k, 0.0) + v
             n += 1
-        return {f'val_{k}': v / max(n, 1) for k, v in agg.items()}
+        return {f'val_{k}': float(v) / max(n, 1) for k, v in agg.items()}
 
     # ------------------------------------------------------------------
     # Main loop
