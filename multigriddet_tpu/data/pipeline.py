@@ -174,20 +174,42 @@ class MultiGridDataGenerator:
         return images, y_true, aug_boxes
 
     def __iter__(self):
+        """Iterate batches with host-side prefetch.
+
+        A producer thread runs decode + letterbox for the next batches
+        while the device executes the current one (replaces the
+        reference's tf.data prefetch, generators.py:2131).
+        """
+        import queue
+        import threading
+
         order = np.arange(len(self.lines))
         if self.train:
             self.rng.shuffle(order)
-        step = 0
-        for start in range(0, len(order) - self.batch_size + 1,
-                           self.batch_size):
-            batch_lines = [self.lines[i]
-                           for i in order[start:start + self.batch_size]]
-            hw = self._pick_shape(step)
-            images_u8, boxes = self.loader.load_batch(batch_lines, hw)
-            images, y_true, aug_boxes = self.process_batch(
-                images_u8, boxes, hw)
-            yield images, y_true, aug_boxes
-            step += 1
+        steps = len(order) // self.batch_size
+        q: 'queue.Queue' = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for step in range(steps):
+                    start = step * self.batch_size
+                    batch_lines = [
+                        self.lines[i]
+                        for i in order[start:start + self.batch_size]]
+                    hw = self._pick_shape(step)
+                    q.put((self.loader.load_batch(batch_lines, hw), hw))
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            (images_u8, boxes), hw = item
+            yield self.process_batch(images_u8, boxes, hw)
+        thread.join()
 
     def close(self):
         self.loader.close()

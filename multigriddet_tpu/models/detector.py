@@ -75,6 +75,20 @@ def multigriddet_csp_darknet(**kwargs) -> MultiGridDet:
     return _build(CSPDarknet53, **kwargs)
 
 
+@register_model('multigriddet_darknet_panet')
+def multigriddet_darknet_panet(num_anchors=(3, 3, 3), num_classes=80,
+                               dtype=jnp.float32, bn_axis_name=None,
+                               **kwargs) -> MultiGridDet:
+    """CSPDarknet53 + PANet head (YOLOv4-style paths, compact predicts)."""
+    from .head import PANetHead
+    backbone = CSPDarknet53(dtype=dtype, bn_axis_name=bn_axis_name)
+    head = PANetHead(num_anchors=tuple(num_anchors),
+                     num_classes=num_classes,
+                     channels=_head_channels(backbone), dtype=dtype,
+                     bn_axis_name=bn_axis_name)
+    return MultiGridDet(backbone=backbone, head=head)
+
+
 @register_model('multigriddet_resnet')
 def multigriddet_resnet(**kwargs) -> MultiGridDet:
     return _build(ResNet50, **kwargs)

@@ -117,3 +117,72 @@ class MultiGridLiteHead(MultiGridHead):
     """Depthwise-separable variant (reference multigrid_head.py:214-272)."""
 
     lite: bool = True
+
+
+class _FiveConv(nn.Module):
+    """1x1/3x3/1x1/3x3/1x1 refinement stack (PANet merge block)."""
+
+    filters: int
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        for i in range(5):
+            k = 3 if i % 2 == 1 else 1
+            f = self.filters * 2 if i % 2 == 1 else self.filters
+            x = ConvBN(f, k, **kw)(x, train)
+        return x
+
+
+@register_head('panet')
+class PANetHead(nn.Module):
+    """PANet-style head: top-down + bottom-up paths (the capability of the
+    reference's unused ``yolo4_predictions``, models/layers.py:260-321),
+    with the MultiGrid compact ``A + C + 5`` predict convs."""
+
+    num_anchors: Tuple[int, int, int] = (3, 3, 3)
+    num_classes: int = 80
+    channels: Tuple[int, int, int] = (512, 256, 128)   # coarse -> fine
+    use_spp: bool = True
+    lite: bool = False
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, taps: Taps, train: bool = False):
+        c3, c4, c5 = taps
+        a, c = self.num_anchors, self.num_classes
+        f1c, f2c, f3c = self.channels
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+
+        # top-down
+        p5 = _Bottleneck(f1c, use_spp=self.use_spp, **kw)(c5, train)
+        x = upsample2x(ConvBN(f2c // 2, 1, **kw)(p5, train))
+        y4 = ConvBN(f2c // 2, 1, **kw)(c4, train)
+        p4 = _FiveConv(f2c // 2, **kw)(
+            jnp.concatenate([y4, x], axis=-1), train)
+        x = upsample2x(ConvBN(f3c // 2, 1, **kw)(p4, train))
+        y3_in = ConvBN(f3c // 2, 1, **kw)(c3, train)
+        p3 = _FiveConv(f3c // 2, **kw)(
+            jnp.concatenate([y3_in, x], axis=-1), train)
+
+        # fine-scale output
+        o3 = ConvBN(f3c, 3, **kw)(p3, train)
+        y3 = PredictConv(a[2] + c + 5, dtype=self.dtype)(o3)
+
+        # bottom-up
+        x = ConvBN(f2c // 2, 3, strides=2, **kw)(p3, train)
+        p4 = _FiveConv(f2c // 2, **kw)(
+            jnp.concatenate([x, p4], axis=-1), train)
+        o4 = ConvBN(f2c, 3, **kw)(p4, train)
+        y2 = PredictConv(a[1] + c + 5, dtype=self.dtype)(o4)
+
+        x = ConvBN(f1c // 2, 3, strides=2, **kw)(p4, train)
+        p5 = _FiveConv(f1c // 2, **kw)(
+            jnp.concatenate([x, p5], axis=-1), train)
+        o5 = ConvBN(f1c, 3, **kw)(p5, train)
+        y1 = PredictConv(a[0] + c + 5, dtype=self.dtype)(o5)
+
+        return y1, y2, y3

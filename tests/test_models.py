@@ -38,7 +38,8 @@ def test_outputs_float32_under_bf16_compute():
 @pytest.mark.parametrize('name', ['multigriddet_csp_darknet',
                                   'multigriddet_resnet',
                                   'multigriddet_darknet_lite',
-                                  'multigriddet_darknet_spp'])
+                                  'multigriddet_darknet_spp',
+                                  'multigriddet_darknet_panet'])
 def test_other_presets_build(name):
     model = create_model(name, num_classes=2)
     _, outs = _init_and_apply(model)
