@@ -60,6 +60,10 @@ def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
     """
     spec = model_spec_from_config(config)
     num_anchors = tuple(len(a) for a in spec['anchors'])
+    bn_momentum = float(
+        (config.get('model', {}) or {}).get('preset', {}).get(
+            'bn_momentum',
+            (config.get('training', {}) or {}).get('bn_momentum', 0.99)))
     if spec['mode'] == 'custom' and spec['custom']:
         from ..models import build_custom
         custom = spec['custom']
@@ -72,7 +76,7 @@ def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
         model = create_model(
             spec['architecture'], num_anchors=num_anchors,
             num_classes=spec['num_classes'], dtype=dtype,
-            bn_axis_name=bn_axis_name)
+            bn_axis_name=bn_axis_name, bn_momentum=bn_momentum)
     return model, spec
 
 

@@ -28,10 +28,12 @@ class _ResStage(nn.Module):
     num_blocks: int
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
         x = ConvBN(self.filters, 3, strides=2, **kw)(x, train)
         for _ in range(self.num_blocks):
             y = ConvBN(self.filters // 2, 1, **kw)(x, train)
@@ -46,12 +48,14 @@ class Darknet53(nn.Module):
 
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
     out_channels: Tuple[int, int, int] = (256, 512, 1024)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Taps:
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
-        skw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
+        skw = kw
         x = ConvBN(32, 3, **kw)(x, train)
         x = _ResStage(64, 1, **skw)(x, train)
         x = _ResStage(128, 2, **skw)(x, train)
@@ -69,11 +73,13 @@ class _CSPStage(nn.Module):
     first: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(act='mish', dtype=self.dtype,
-                  bn_axis_name=self.bn_axis_name)
+                  bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
         hidden = self.filters if self.first else self.filters // 2
         x = ConvBN(self.filters, 3, strides=2, **kw)(x, train)
         short = ConvBN(hidden, 1, **kw)(x, train)
@@ -93,13 +99,16 @@ class CSPDarknet53(nn.Module):
 
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
     out_channels: Tuple[int, int, int] = (256, 512, 1024)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Taps:
         kw = dict(act='mish', dtype=self.dtype,
-                  bn_axis_name=self.bn_axis_name)
-        skw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+                  bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
+        skw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   bn_momentum=self.bn_momentum)
         x = ConvBN(32, 3, **kw)(x, train)
         x = _CSPStage(64, 1, first=True, **skw)(x, train)
         x = _CSPStage(128, 2, **skw)(x, train)

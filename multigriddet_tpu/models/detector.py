@@ -46,12 +46,15 @@ def _head_channels(backbone) -> Tuple[int, int, int]:
 
 def _build(backbone_cls, num_anchors=(3, 3, 3), num_classes=80,
            use_spp=False, lite=False, dtype=jnp.float32,
-           bn_axis_name=None, **kwargs) -> MultiGridDet:
-    backbone = backbone_cls(dtype=dtype, bn_axis_name=bn_axis_name)
+           bn_axis_name=None, bn_momentum=0.99, **kwargs) -> MultiGridDet:
+    bkw = dict(dtype=dtype, bn_axis_name=bn_axis_name)
+    if hasattr(backbone_cls, 'bn_momentum'):
+        bkw['bn_momentum'] = bn_momentum
+    backbone = backbone_cls(**bkw)
     head = MultiGridHead(
         num_anchors=tuple(num_anchors), num_classes=num_classes,
         channels=_head_channels(backbone), use_spp=use_spp, lite=lite,
-        dtype=dtype, bn_axis_name=bn_axis_name)
+        dtype=dtype, bn_axis_name=bn_axis_name, bn_momentum=bn_momentum)
     return MultiGridDet(backbone=backbone, head=head)
 
 
@@ -78,14 +81,15 @@ def multigriddet_csp_darknet(**kwargs) -> MultiGridDet:
 @register_model('multigriddet_darknet_panet')
 def multigriddet_darknet_panet(num_anchors=(3, 3, 3), num_classes=80,
                                dtype=jnp.float32, bn_axis_name=None,
-                               **kwargs) -> MultiGridDet:
+                               bn_momentum=0.99, **kwargs) -> MultiGridDet:
     """CSPDarknet53 + PANet head (YOLOv4-style paths, compact predicts)."""
     from .head import PANetHead
-    backbone = CSPDarknet53(dtype=dtype, bn_axis_name=bn_axis_name)
+    backbone = CSPDarknet53(dtype=dtype, bn_axis_name=bn_axis_name,
+                            bn_momentum=bn_momentum)
     head = PANetHead(num_anchors=tuple(num_anchors),
                      num_classes=num_classes,
                      channels=_head_channels(backbone), dtype=dtype,
-                     bn_axis_name=bn_axis_name)
+                     bn_axis_name=bn_axis_name, bn_momentum=bn_momentum)
     return MultiGridDet(backbone=backbone, head=head)
 
 
@@ -99,12 +103,14 @@ class TinyBackbone(nn.Module):
 
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
     out_channels: Tuple[int, int, int] = (32, 48, 64)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from .layers import ConvBN
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
         taps = []
         for i, ch in enumerate((16, 24, *self.out_channels)):
             x = ConvBN(ch, 3, strides=2, **kw)(x, train)

@@ -32,10 +32,12 @@ class _Bottleneck(nn.Module):
     lite: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
         conv3 = SeparableConvBN if self.lite else ConvBN
         x = ConvBN(self.filters, 1, **kw)(x, train)
         if self.use_spp:
@@ -59,10 +61,12 @@ class _ScaleHead(nn.Module):
     lite: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
         conv3 = SeparableConvBN if self.lite else ConvBN
         x = _Bottleneck(self.filters, use_spp=self.use_spp, lite=self.lite,
                         **kw)(x, train)
@@ -82,6 +86,7 @@ class MultiGridHead(nn.Module):
     lite: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, taps: Taps, train: bool = False):
@@ -91,13 +96,16 @@ class MultiGridHead(nn.Module):
         f1c, f2c, f3c = self.channels
         base = a[0] + c + 5
         kw = dict(use_spp=False, lite=self.lite, dtype=self.dtype,
-                  bn_axis_name=self.bn_axis_name)
-        ckw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+                  bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
+        ckw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                   bn_momentum=self.bn_momentum)
 
         x, y1 = _ScaleHead(f1c // 2, 8 * base, a[0] + c + 5,
                            use_spp=self.use_spp, lite=self.lite,
                            dtype=self.dtype,
-                           bn_axis_name=self.bn_axis_name)(c5, train)
+                           bn_axis_name=self.bn_axis_name,
+                           bn_momentum=self.bn_momentum)(c5, train)
 
         x = ConvBN(f2c // 2, 1, **ckw)(x, train)
         x = upsample2x(x)
@@ -125,10 +133,12 @@ class _FiveConv(nn.Module):
     filters: int
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
         for i in range(5):
             k = 3 if i % 2 == 1 else 1
             f = self.filters * 2 if i % 2 == 1 else self.filters
@@ -149,13 +159,15 @@ class PANetHead(nn.Module):
     lite: bool = False
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, taps: Taps, train: bool = False):
         c3, c4, c5 = taps
         a, c = self.num_anchors, self.num_classes
         f1c, f2c, f3c = self.channels
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
 
         # top-down
         p5 = _Bottleneck(f1c, use_spp=self.use_spp, **kw)(c5, train)

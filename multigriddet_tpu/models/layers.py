@@ -99,6 +99,7 @@ class SeparableConvBN(nn.Module):
     act: str = 'leaky'
     dtype: Dtype = jnp.float32
     bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -113,17 +114,17 @@ class SeparableConvBN(nn.Module):
                     strides=(self.strides, self.strides), padding=padding,
                     feature_group_count=in_ch, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype,
-                         param_dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None)(x)
         x = _ACTS[self.act](x)
         # Pointwise
         x = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype,
-                         param_dtype=jnp.float32,
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum, epsilon=1e-3,
+                         dtype=self.dtype, param_dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None)(x)
         return _ACTS[self.act](x)
 

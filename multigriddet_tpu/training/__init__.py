@@ -1,5 +1,6 @@
 """Training layer: state, sharded steps, checkpoints, trainer."""
 
+from .calibrate import calibrate_batch_stats
 from .checkpoint import CheckpointManager, load_params, save_params
 from .state import (TrainState, count_params, create_train_state,
                     freeze_labels, partition_optimizer)
@@ -8,7 +9,7 @@ from .steps import (make_eval_step, make_infer_step, make_mesh,
 from .trainer import MultiGridTrainer
 
 __all__ = [
-    'CheckpointManager', 'load_params', 'save_params', 'TrainState',
+    'calibrate_batch_stats', 'CheckpointManager', 'load_params', 'save_params', 'TrainState',
     'count_params', 'create_train_state', 'freeze_labels',
     'partition_optimizer', 'make_eval_step', 'make_infer_step', 'make_mesh',
     'make_train_step', 'replicate', 'shard_batch', 'MultiGridTrainer',
