@@ -31,7 +31,7 @@ BASELINE_FPS = 30.0  # reference: GTX 1060 @608 (README.md:617)
 
 
 def main():
-    batch = 64
+    batch = 128
     hw = (416, 416)
     model = create_model('multigriddet_darknet', num_classes=80,
                          dtype=jnp.bfloat16)
@@ -57,7 +57,7 @@ def main():
         return jnp.sum(scores * valid)
 
     float(infer(variables, inputs[0]))  # compile
-    iters = 16
+    iters = 12
     t0 = time.time()
     outs = [infer(variables, inputs[i % 2]) for i in range(iters)]
     _ = sum(float(o) for o in outs)

@@ -51,9 +51,9 @@ def calculate_expansion_factor(mosaic_prob: float, mixup_prob: float) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=('aug_cfg', 'anchors_tuple', 'num_classes', 'input_hw',
-                     'train'))
+                     'train', 'multi_anchor_assign'))
 def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
-                  input_hw, train):
+                  input_hw, train, multi_anchor_assign=False):
     """images u8 [B,H,W,3] + boxes [B,N,5] -> (images f32 [0,1], y_true)."""
     images = images_u8.astype(jnp.float32)
     cfg = dict(aug_cfg)
@@ -91,7 +91,8 @@ def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
     images = A.normalize_images(images)
     y_true = encode_targets(boxes, [np.asarray(a, np.float32)
                                     for a in anchors_tuple],
-                            num_classes, input_hw)
+                            num_classes, input_hw,
+                            multi_anchor_assign=multi_anchor_assign)
     return images, y_true, boxes
 
 
@@ -127,7 +128,8 @@ class MultiGridDataGenerator:
                  rescale_interval: int = -1,
                  num_workers: int = 8,
                  seed: int = 0,
-                 drop_remainder: bool = True):
+                 drop_remainder: bool = True,
+                 multi_anchor_assign: bool = False):
         self.lines = list(annotation_lines)
         self.anchors = [np.asarray(a, np.float32) for a in anchors]
         self.num_classes = num_classes
@@ -142,6 +144,7 @@ class MultiGridDataGenerator:
         self.loader = HostImageLoader(
             self.lines, self.input_shape, max_boxes, num_workers)
         self.drop_remainder = drop_remainder
+        self.multi_anchor_assign = multi_anchor_assign
         self._anchors_tuple = tuple(
             tuple(map(tuple, a.tolist())) for a in self.anchors)
 
@@ -170,7 +173,7 @@ class MultiGridDataGenerator:
         images, y_true, aug_boxes = _device_stage(
             jnp.asarray(images_u8), jnp.asarray(boxes), sub,
             _freeze(self.augment_cfg), self._anchors_tuple,
-            self.num_classes, hw, self.train)
+            self.num_classes, hw, self.train, self.multi_anchor_assign)
         return images, y_true, aug_boxes
 
     def __iter__(self):

@@ -87,8 +87,18 @@ def _encode_one_image(boxes: jnp.ndarray,
                       k_of: jnp.ndarray,
                       anchors_per_layer: Tuple[int, ...],
                       num_classes: int,
-                      input_hw: Tuple[int, int]):
-    """Scan the padded box list into the per-layer target grids."""
+                      input_hw: Tuple[int, int],
+                      multi_anchor_assign: bool = False,
+                      multi_anchor_thresh: float = 0.8):
+    """Scan the padded box list into the per-layer target grids.
+
+    With ``multi_anchor_assign`` (the capability behind the reference's
+    config knob — its own encoders hardcode it off, generators.py:3435 /
+    2714), a box is additionally written to every OTHER layer whose best
+    in-layer anchor has IoL within ``multi_anchor_thresh`` of the global
+    best and IoL > 0.5 (best_fit_and_layer semantics, generators.py:
+    2534-2541), using that layer's own best anchor for the wh target.
+    """
     in_h, in_w = input_hw
     num_layers = len(grids)
 
@@ -99,16 +109,25 @@ def _encode_one_image(boxes: jnp.ndarray,
 
     sel_layer, sel_k, sel_anchor = match_anchors(
         wh, all_anchors, layer_of, k_of)
-    twh = jnp.log(jnp.maximum(wh / sel_anchor, 1e-3))
+    # per-(box, layer) best anchor: index, wh, and IoL
+    iols = jnp.round(iol_wh(wh, all_anchors) * 1000.0) / 1000.0  # [N, TA]
+    best_iol_global = jnp.max(iols, axis=-1)                     # [N]
+    per_layer_k, per_layer_wh, per_layer_iol = [], [], []
+    for l in range(num_layers):
+        mask = layer_of == l
+        masked = jnp.where(mask[None, :], iols, -1.0)
+        gidx = jnp.argmax(masked, axis=-1)
+        per_layer_k.append(k_of[gidx])
+        per_layer_wh.append(all_anchors[gidx])
+        per_layer_iol.append(jnp.max(masked, axis=-1))
 
     ki = jnp.asarray(_KI, jnp.int32)
     kj = jnp.asarray(_KJ, jnp.int32)
 
     def body(carry, t):
         grids_c = carry
-        box_xy, box_twh = xy[t], twh[t]
-        box_layer, box_k, box_cls, box_valid = (
-            sel_layer[t], sel_k[t], cls[t], valid[t])
+        box_xy = xy[t]
+        box_layer, box_cls, box_valid = (sel_layer[t], cls[t], valid[t])
 
         new_grids = []
         for l in range(num_layers):
@@ -116,6 +135,9 @@ def _encode_one_image(boxes: jnp.ndarray,
             gh, gw = g.shape[0], g.shape[1]
             a_l = anchors_per_layer[l]
             feat = 5 + a_l + num_classes
+            box_k = per_layer_k[l][t]
+            box_twh = jnp.log(jnp.maximum(
+                wh[t] / per_layer_wh[l][t], 1e-3))
 
             cx = box_xy[0] * (gw / in_w)
             cy = box_xy[1] * (gh / in_h)
@@ -127,6 +149,12 @@ def _encode_one_image(boxes: jnp.ndarray,
             cj = j + kj            # [9] candidate rows
             inb = (ci >= 0) & (ci < gw) & (cj >= 0) & (cj < gh)
             on_layer = box_valid & (box_layer == l)
+            if multi_anchor_assign:
+                qualifies = ((per_layer_iol[l][t]
+                              / jnp.maximum(best_iol_global[t], 1e-8))
+                             >= multi_anchor_thresh) \
+                    & (per_layer_iol[l][t] > 0.5)
+                on_layer = box_valid & ((box_layer == l) | qualifies)
 
             occ = g[jnp.clip(cj, 0, gh - 1), jnp.clip(ci, 0, gw - 1), 4] > 0.5
 
@@ -169,9 +197,11 @@ def _encode_one_image(boxes: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=('anchors_tuple', 'num_classes', 'input_hw',
-                     'grid_shapes'))
+                     'grid_shapes', 'multi_anchor_assign',
+                     'multi_anchor_thresh'))
 def _encode_batch_jit(boxes, anchors_tuple, num_classes, input_hw,
-                      grid_shapes):
+                      grid_shapes, multi_anchor_assign=False,
+                      multi_anchor_thresh=0.8):
     anchors = [np.asarray(a, np.float32) for a in anchors_tuple]
     all_anchors_np, layer_of_np, k_of_np = flatten_anchors(anchors)
     all_anchors = jnp.asarray(all_anchors_np)
@@ -185,7 +215,8 @@ def _encode_batch_jit(boxes, anchors_tuple, num_classes, input_hw,
                       jnp.float32)
             for l, (gh, gw) in enumerate(grid_shapes))
         return _encode_one_image(b, grids, all_anchors, layer_of, k_of,
-                                 anchors_per_layer, num_classes, input_hw)
+                                 anchors_per_layer, num_classes, input_hw,
+                                 multi_anchor_assign, multi_anchor_thresh)
 
     return jax.vmap(one)(boxes)
 
@@ -194,7 +225,9 @@ def encode_targets(boxes: jnp.ndarray,
                    anchors: Sequence[np.ndarray],
                    num_classes: int,
                    input_hw: Tuple[int, int],
-                   grid_shapes: Sequence[Tuple[int, int]] | None = None):
+                   grid_shapes: Sequence[Tuple[int, int]] | None = None,
+                   multi_anchor_assign: bool = False,
+                   multi_anchor_thresh: float = 0.8):
     """Encode a padded batch of GT boxes into MultiGrid y_true tensors.
 
     Args:
@@ -218,7 +251,8 @@ def encode_targets(boxes: jnp.ndarray,
         for a in anchors)
     return _encode_batch_jit(
         jnp.asarray(boxes, jnp.float32), anchors_tuple, num_classes,
-        tuple(input_hw), tuple(map(tuple, grid_shapes)))
+        tuple(input_hw), tuple(map(tuple, grid_shapes)),
+        multi_anchor_assign, multi_anchor_thresh)
 
 
 # ---------------------------------------------------------------------------

@@ -160,3 +160,23 @@ def test_extract_center_gt_boxes_roundtrip(coco_anchors):
                 recovered[j, 2:4], [w[t], h[t]], rtol=2e-2):
             found += 1
     assert found >= n - 1  # allow one collision-overwrite
+
+
+def test_multi_anchor_assign_adds_layers():
+    """multi_anchor_assign writes qualifying other layers too (the working
+    form of the reference's dead config knob, generators.py:2534-2541)."""
+    from multigriddet_tpu.ops import encode_targets
+    # two layers with near-identical anchors: both qualify for the box
+    anchors = [np.array([[100, 100]], np.float32),
+               np.array([[95, 95]], np.float32)]
+    boxes = np.zeros((1, 2, 5), np.float32)
+    boxes[0, 0] = [100, 100, 200, 200, 0]     # 100x100 box
+    grids = [(10, 10), (20, 20)]
+    single = encode_targets(boxes, anchors, 2, (320, 320), grids)
+    multi = encode_targets(boxes, anchors, 2, (320, 320), grids,
+                           multi_anchor_assign=True)
+    pos_single = [float(np.asarray(t)[..., 4].sum()) for t in single]
+    pos_multi = [float(np.asarray(t)[..., 4].sum()) for t in multi]
+    # single: only the best layer gets cells; multi: both layers do
+    assert (pos_single[0] == 0) != (pos_single[1] == 0)
+    assert pos_multi[0] > 0 and pos_multi[1] > 0
