@@ -1,0 +1,56 @@
+"""CLI argument/override surface tests (no device work)."""
+
+import sys
+
+sys.path.insert(0, '.')
+
+import eval as eval_cli
+import infer as infer_cli
+import train as train_cli
+
+
+def test_train_overrides():
+    args = train_cli.parse_args([
+        '--config', 'x.yaml', '--epochs', '7', '--batch-size', '4',
+        '--learning-rate', '0.01', '--weights', 'w.msgpack', '--resume',
+        '--input-shape', '320', '320'])
+    cfg = train_cli.apply_overrides({}, args)
+    assert cfg['training']['epochs'] == 7
+    assert cfg['training']['batch_size'] == 4
+    assert cfg['training']['learning_rate'] == 0.01
+    assert cfg['resume']['enabled'] and cfg['resume'][
+        'weights_path'] == 'w.msgpack'
+    assert cfg['model']['preset']['input_shape'] == [320, 320, 3]
+
+
+def test_infer_overrides_and_type_detect(tmp_path):
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    args = infer_cli.parse_args([
+        '--input', str(d), '--conf', '0.3', '--nms', '0.5',
+        '--nms-method', 'soft', '--output', 'out'])
+    cfg = infer_cli.apply_overrides({}, args)
+    assert cfg['input']['type'] == 'directory'
+    assert cfg['detection']['confidence_threshold'] == 0.3
+    assert cfg['detection']['nms_threshold'] == 0.5
+    assert cfg['detection']['nms_method'] == 'soft'
+    assert cfg['output']['output_dir'] == 'out'
+
+    args = infer_cli.parse_args(['--input', 'movie.mp4'])
+    assert infer_cli.apply_overrides({}, args)['input']['type'] == 'video'
+    args = infer_cli.parse_args(['--input', '0'])
+    assert infer_cli.apply_overrides({}, args)['input']['type'] == 'camera'
+    args = infer_cli.parse_args(['--input', 'x.jpg'])
+    assert infer_cli.apply_overrides({}, args)['input']['type'] == 'image'
+
+
+def test_eval_overrides():
+    args = eval_cli.parse_args([
+        '--data', 'ann.txt', '--batch-size', '2', '--conf', '0.2',
+        '--max-images', '50', '--weights', 'w.msgpack'])
+    cfg = eval_cli.apply_overrides({}, args)
+    assert cfg['data']['annotation'] == 'ann.txt'
+    assert cfg['evaluation']['batch_size'] == 2
+    assert cfg['evaluation']['confidence_threshold'] == 0.2
+    assert cfg['evaluation']['max_images'] == 50
+    assert cfg['weights_path'] == 'w.msgpack'

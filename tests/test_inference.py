@@ -1,0 +1,84 @@
+"""Inference engine + decoder facade integration tests (tiny model).
+
+Models the reference's tests/test_inference.py smoke strategy: build with
+random weights, run the full detect path, check shape/type contracts.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multigriddet_tpu.inference import MultiGridInference
+from multigriddet_tpu.postprocess import MultiGridDecoder
+
+
+@pytest.fixture(scope='module')
+def config(tmp_path_factory):
+    root = tmp_path_factory.mktemp('inf')
+    anchors = root / 'anchors.txt'
+    anchors.write_text('40,40\n20,20\n10,10\n')
+    classes = root / 'classes.txt'
+    classes.write_text('a\nb\n')
+    return {
+        'model': {'type': 'preset', 'preset': {
+            'architecture': 'multigriddet_tiny', 'num_classes': 2,
+            'input_shape': [64, 64, 3], 'anchors_path': str(anchors),
+            'classes_path': str(classes)}},
+        'input': {'type': 'image', 'input_shape': [64, 64, 3]},
+        'detection': {'confidence_threshold': 0.05,
+                      'nms_threshold': 0.45, 'max_boxes': 10},
+        'output': {'save_result': False},
+    }
+
+
+def test_engine_detect_contract(config, tmp_path):
+    engine = MultiGridInference(config)
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(
+            0, 255, (48, 80, 3)).astype('uint8'))
+    boxes, classes, scores = engine.detect(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    assert len(boxes) == len(classes) == len(scores)
+    # boxes are in ORIGINAL image pixel space
+    if len(boxes):
+        assert (boxes[:, 0] + boxes[:, 2] <= 80 + 32).all()
+
+    p = tmp_path / 'in.jpg'
+    img.save(p)
+    annotated, (b, c, s) = engine.predict_image(
+        str(p), output_dir=str(tmp_path / 'out'))
+    assert annotated.shape == (48, 80, 3)
+    assert (tmp_path / 'out' / 'in.jpg').exists()
+
+
+def test_engine_directory_mode(config, tmp_path):
+    engine = MultiGridInference(config)
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3)).astype(
+            'uint8')).save(d / f'{i}.jpg')
+    results = engine.predict_directory(str(d), str(tmp_path / 'out'))
+    assert len(results) == 2
+
+
+def test_decoder_facade(config):
+    rng = np.random.RandomState(2)
+    anchors = [np.array([[40, 40]], np.float32),
+               np.array([[20, 20]], np.float32),
+               np.array([[10, 10]], np.float32)]
+    dec = MultiGridDecoder(anchors, 2, (64, 64), confidence=0.1)
+    preds = [rng.randn(1, g, g, 5 + 1 + 2).astype(np.float32) * 2
+             for g in (2, 4, 8)]
+    boxes, classes, scores = dec.postprocess(preds, (48, 80))
+    assert boxes.shape[1] == 4 if len(boxes) else True
+    # xyxy clipped to the original image
+    if len(boxes):
+        assert (boxes[:, 0] >= 0).all() and (boxes[:, 2] <= 80).all()
+        assert (boxes[:, 1] >= 0).all() and (boxes[:, 3] <= 48).all()
+    # WBF variant runs
+    dec_wbf = MultiGridDecoder(anchors, 2, (64, 64), confidence=0.1,
+                               use_wbf=True)
+    boxes2, classes2, scores2 = dec_wbf.postprocess(preds, (48, 80))
+    assert len(boxes2) == len(scores2)
