@@ -10,10 +10,12 @@ cross-device collectives that ride the ICI — no hand-written comms layer.
 These helpers are re-exported by ``multigriddet_tpu.training``.
 """
 
-from .mesh import (data_parallel_sharding, make_mesh, replicate,
+from .mesh import (data_parallel_sharding, image_partition_spec,
+                   make_mesh, make_mesh_2d, replicate,
                    replicated_sharding, shard_batch)
 
 __all__ = [
-    'data_parallel_sharding', 'make_mesh', 'replicate',
+    'data_parallel_sharding', 'image_partition_spec', 'make_mesh',
+    'make_mesh_2d', 'replicate',
     'replicated_sharding', 'shard_batch',
 ]

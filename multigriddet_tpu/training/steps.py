@@ -23,7 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..losses import LossConfig, multigrid_loss
 from ..ops.decode import decode_predictions
 from ..ops.nms import batched_nms
-from ..parallel import make_mesh, replicate, shard_batch  # noqa: F401
+from ..parallel import (image_partition_spec, make_mesh,  # noqa: F401
+                        make_mesh_2d, replicate, shard_batch)
 from .state import TrainState
 
 
@@ -55,7 +56,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
     def step(state: TrainState, images, y_true):
         if mesh is not None:
             images = jax.lax.with_sharding_constraint(
-                images, NamedSharding(mesh, P('batch')))
+                images, NamedSharding(mesh, image_partition_spec(mesh)))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, images, y_true)
@@ -84,7 +85,7 @@ def make_eval_step(model, anchors: Sequence[np.ndarray], num_classes: int,
     def step(state: TrainState, images, y_true):
         if mesh is not None:
             images = jax.lax.with_sharding_constraint(
-                images, NamedSharding(mesh, P('batch')))
+                images, NamedSharding(mesh, image_partition_spec(mesh)))
         outs = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
             images, train=False)
@@ -121,7 +122,7 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
     def step(variables, images):
         if mesh is not None:
             images = jax.lax.with_sharding_constraint(
-                images, NamedSharding(mesh, P('batch')))
+                images, NamedSharding(mesh, image_partition_spec(mesh)))
         if images.dtype == jnp.uint8:
             # ship uint8 over the host link (4x less traffic than f32)
             # and normalize on device

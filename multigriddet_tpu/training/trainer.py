@@ -36,6 +36,7 @@ from ..data import MultiGridDataGenerator, load_annotation_lines
 from .checkpoint import CheckpointManager, load_params, save_params
 from .state import TrainState, count_params, create_train_state, \
     partition_optimizer
+from ..parallel import image_partition_spec
 from .steps import make_eval_step, make_mesh, make_train_step, replicate, \
     shard_batch
 
@@ -51,14 +52,24 @@ class MultiGridTrainer:
         if mesh is not None:
             self.mesh = mesh
         else:
-            # use the largest device count that divides the batch size so
-            # the batch shards evenly over the mesh
             batch = int(self.training_cfg.get('batch_size', 8))
             devices = jax.devices()
-            n = len(devices)
-            while n > 1 and batch % n != 0:
-                n -= 1
-            self.mesh = make_mesh(devices[:n])
+            sp = int(env.get('spatial_partition', 1) or 1)
+            if sp > 1 and len(devices) % sp == 0:
+                # 2-D mesh: data x spatial partitioning (images sharded
+                # over H, convs halo-exchanged by GSPMD)
+                from ..parallel import make_mesh_2d
+                dp = len(devices) // sp
+                while dp > 1 and batch % dp != 0:
+                    dp -= 1
+                self.mesh = make_mesh_2d(dp, sp, devices[:dp * sp])
+            else:
+                # largest device count that divides the batch size so the
+                # batch shards evenly over the mesh
+                n = len(devices)
+                while n > 1 and batch % n != 0:
+                    n -= 1
+                self.mesh = make_mesh(devices[:n])
         self.output_cfg = config.get('output', {}) or {}
         self.callbacks_cfg = config.get('callbacks', {}) or {}
         self.history = []
@@ -157,7 +168,9 @@ class MultiGridTrainer:
         t0 = time.time()
         agg, n = {}, 0
         for images, y_true, _ in self.train_gen:
-            images, = shard_batch(self.mesh, images)
+            images = jax.device_put(
+                images, jax.sharding.NamedSharding(
+                    self.mesh, image_partition_spec(self.mesh)))
             state, metrics = train_step(state, images, y_true)
             n += 1
             if n % 50 == 0 or n == 1:
@@ -183,7 +196,9 @@ class MultiGridTrainer:
             return {}
         agg, n = {}, 0
         for images, y_true, _ in self.val_gen:
-            images, = shard_batch(self.mesh, images)
+            images = jax.device_put(
+                images, jax.sharding.NamedSharding(
+                    self.mesh, image_partition_spec(self.mesh)))
             metrics = eval_step(state, images, y_true)
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + v

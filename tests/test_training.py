@@ -145,3 +145,26 @@ def test_checkpoint_roundtrip_with_opt_state(setup, tmp_path):
                     jax.tree_util.tree_leaves(restored.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mngr.close()
+
+
+def test_train_step_on_2d_mesh_spatial_partition(setup):
+    """Data x spatial partitioning: images sharded over (batch, H); GSPMD
+    partitions convs with halo exchanges."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multigriddet_tpu.parallel import make_mesh_2d
+
+    model, variables, images, y_true = setup
+    mesh = make_mesh_2d(2, 4)
+    tx = optax.adam(1e-3)
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], tx)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    images = jax.device_put(images, NamedSharding(mesh, P('batch', 'space')))
+    y_true = tuple(jax.device_put(t, NamedSharding(mesh, P('batch')))
+                   for t in y_true)
+    step = make_train_step(model, tx, ANCHORS, C, HW, mesh=mesh,
+                           donate=False)
+    state, metrics = step(state, images, y_true)
+    assert np.isfinite(float(metrics['loss']))
+    assert int(state.step) == 1
