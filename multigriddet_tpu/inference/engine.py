@@ -95,6 +95,41 @@ class MultiGridInference:
                 jnp.asarray(cxcywh), (ih, iw), self.input_hw))
         return bxs, cls, scs
 
+    def detect_batch(self, images: List[Image.Image], batch_size: int = 16):
+        """Batched detection for serving throughput.
+
+        Pads to ``batch_size`` and runs the fused infer step per chunk
+        (uint8 transfer).  Returns a list of (boxes, classes, scores) in
+        each image's original pixel space.
+        """
+        results = []
+        for start in range(0, len(images), batch_size):
+            chunk = images[start:start + batch_size]
+            batch = np.zeros((batch_size, *self.input_hw, 3), np.uint8)
+            sizes = []
+            for i, img in enumerate(chunk):
+                arr, _, _, _ = letterbox_image(img.convert('RGB'),
+                                               self.input_hw)
+                batch[i] = arr
+                sizes.append((img.size[1], img.size[0]))
+            bxs, cls, scs, valid = self._infer(self.variables,
+                                               jnp.asarray(batch))
+            bxs, cls = np.asarray(bxs), np.asarray(cls)
+            scs, valid = np.asarray(scs), np.asarray(valid)
+            for i, (ih, iw) in enumerate(sizes):
+                keep = valid[i]
+                b, c, s = bxs[i][keep], cls[i][keep], scs[i][keep]
+                if len(b):
+                    hw = np.asarray(self.input_hw, np.float32)
+                    cxcywh = np.stack([
+                        (b[:, 0] + b[:, 2] / 2) / hw[1],
+                        (b[:, 1] + b[:, 3] / 2) / hw[0],
+                        b[:, 2] / hw[1], b[:, 3] / hw[0]], axis=-1)
+                    b = np.asarray(undo_letterbox_boxes(
+                        jnp.asarray(cxcywh), (ih, iw), self.input_hw))
+                results.append((b, c, s))
+        return results
+
     def predict_image(self, path: str, output_dir: Optional[str] = None,
                       show: bool = False):
         image = Image.open(path)

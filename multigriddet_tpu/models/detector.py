@@ -31,7 +31,8 @@ class MultiGridDet(nn.Module):
     head: nn.Module
 
     def __call__(self, images: jnp.ndarray, train: bool = False):
-        taps = self.backbone(images, train=train)
+        # positional `train` so nn.remat's static_argnums can mark it
+        taps = self.backbone(images, train)
         return self.head(taps, train=train)
 
 
@@ -46,10 +47,15 @@ def _head_channels(backbone) -> Tuple[int, int, int]:
 
 def _build(backbone_cls, num_anchors=(3, 3, 3), num_classes=80,
            use_spp=False, lite=False, dtype=jnp.float32,
-           bn_axis_name=None, bn_momentum=0.99, **kwargs) -> MultiGridDet:
+           bn_axis_name=None, bn_momentum=0.99, remat=False,
+           **kwargs) -> MultiGridDet:
     bkw = dict(dtype=dtype, bn_axis_name=bn_axis_name)
     if hasattr(backbone_cls, 'bn_momentum'):
         bkw['bn_momentum'] = bn_momentum
+    if remat:
+        # rematerialize the backbone in the backward pass: trades one extra
+        # forward for dropping all backbone activations from HBM
+        backbone_cls = nn.remat(backbone_cls, static_argnums=(2,))
     backbone = backbone_cls(**bkw)
     head = MultiGridHead(
         num_anchors=tuple(num_anchors), num_classes=num_classes,

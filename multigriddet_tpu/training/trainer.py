@@ -147,6 +147,10 @@ class MultiGridTrainer:
             opt = create_optimizer_from_config(self.config, base_lr)
         else:
             opt = create_optimizer_from_config(self.config, schedule)
+        accum = int(self.training_cfg.get('gradient_accumulation', 1) or 1)
+        if accum > 1:
+            # large effective batches without more HBM
+            opt = optax.MultiSteps(opt, every_k_schedule=accum)
         tx = partition_optimizer(opt, params, freeze_level)
         state = create_train_state(params, batch_stats, optax.identity(),
                                    freeze_level=0)

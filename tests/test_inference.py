@@ -82,3 +82,14 @@ def test_decoder_facade(config):
                                use_wbf=True)
     boxes2, classes2, scores2 = dec_wbf.postprocess(preds, (48, 80))
     assert len(boxes2) == len(scores2)
+
+
+def test_detect_batch_serving(config):
+    engine = MultiGridInference(config)
+    rng = np.random.RandomState(3)
+    imgs = [Image.fromarray(rng.randint(0, 255, (40 + 8 * i, 64, 3))
+                            .astype('uint8')) for i in range(3)]
+    results = engine.detect_batch(imgs, batch_size=2)
+    assert len(results) == 3
+    for b, c, s in results:
+        assert len(b) == len(c) == len(s)

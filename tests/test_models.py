@@ -68,3 +68,29 @@ def test_train_mode_updates_batch_stats():
     assert 'batch_stats' in mutated
     leaves = jax.tree_util.tree_leaves(mutated['batch_stats'])
     assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+
+def test_remat_backbone_grads_match():
+    """remat=True gives identical forward and gradients (just less memory)."""
+    import numpy as np
+    m1 = create_model('multigriddet_tiny', num_anchors=(1, 1, 1),
+                      num_classes=2)
+    m2 = create_model('multigriddet_tiny', num_anchors=(1, 1, 1),
+                      num_classes=2, remat=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
+                    .astype(np.float32))
+    v = m1.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m):
+        def f(p):
+            outs = m.apply({'params': p, 'batch_stats': v['batch_stats']},
+                           x, train=False)
+            return sum(jnp.sum(o ** 2) for o in outs)
+        return f
+
+    l1, g1 = jax.value_and_grad(loss(m1))(v['params'])
+    l2, g2 = jax.value_and_grad(loss(m2))(v['params'])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
