@@ -172,3 +172,39 @@ def test_soft_and_cluster_nms_run(rng):
     keep = _np_greedy_nms(boxes, scores, 0.5)
     want = np.sort(scores[keep])
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_soft_nms_matches_numpy_oracle(rng):
+    """Gaussian soft-NMS rescoring parity with a sequential NumPy oracle
+    (reference SoftNMS semantics, nms.py:243-320)."""
+    from multigriddet_tpu.ops.nms import (_overlap_matrix, _soft_nms_sweep,
+                                          NEG_INF)
+    import jax.numpy as jnp
+    k, sigma, floor = 32, 0.5, 0.1
+    boxes = np.concatenate([rng.rand(k, 2) * 100,
+                            rng.rand(k, 2) * 60 + 5], -1).astype(np.float32)
+    scores = rng.rand(k).astype(np.float32)
+    valid = np.ones(k, bool)
+
+    overlap = np.asarray(_overlap_matrix(jnp.asarray(boxes), 'standard',
+                                         False))
+    # sequential oracle
+    s = scores.copy()
+    done = np.zeros(k, bool)
+    out = np.full(k, NEG_INF, np.float32)
+    while True:
+        live = np.where(~done & (s > floor))[0]
+        if not len(live):
+            break
+        cur = live[np.argmax(s[live])]
+        out[cur] = s[cur]
+        done[cur] = True
+        decay = np.exp(-(overlap[cur] ** 2) / sigma)
+        s = np.where(done, s, s * decay)
+    got = np.asarray(_soft_nms_sweep(jnp.asarray(overlap),
+                                     jnp.asarray(scores),
+                                     jnp.asarray(valid), sigma, floor))
+    kept_got = got > NEG_INF / 2
+    kept_want = out > NEG_INF / 2
+    np.testing.assert_array_equal(kept_got, kept_want)
+    np.testing.assert_allclose(got[kept_got], out[kept_want], rtol=1e-5)
