@@ -105,23 +105,29 @@ class MultiGridEvaluator:
         colors = get_colors(len(self.class_names))
         n_saved = 0
 
+        from ..data.annotations import HostImageLoader
+        loader = HostImageLoader(lines, self.input_hw, max_boxes=1,
+                                 num_workers=8)
         for start in range(0, len(lines), self.batch_size):
             chunk = lines[start:start + self.batch_size]
             batch_arr = np.zeros(
                 (self.batch_size, *self.input_hw, 3), np.uint8)
+            # decode+letterbox through the (native when available) loader
+            imgs_u8, _ = loader.load_batch(chunk)
+            batch_arr[:len(chunk)] = imgs_u8
             metas = []
             for bi, line in enumerate(chunk):
                 img_path, gt_boxes = parse_annotation_line(line)
-                with Image.open(img_path) as img:
-                    img = img.convert('RGB')
-                    iw, ih = img.size
-                    arr, _, _, _ = letterbox_image(img, self.input_hw)
-                    if save_imgs and n_saved < max_save:
-                        metas.append((start + bi, gt_boxes, ih, iw,
-                                      np.asarray(img)))
-                    else:
-                        metas.append((start + bi, gt_boxes, ih, iw, None))
-                batch_arr[bi] = arr
+                if save_imgs and n_saved < max_save:
+                    with Image.open(img_path) as img:
+                        img = img.convert('RGB')
+                        iw, ih = img.size
+                        raw = np.asarray(img)
+                else:
+                    with Image.open(img_path) as img:
+                        iw, ih = img.size
+                    raw = None
+                metas.append((start + bi, gt_boxes, ih, iw, raw))
 
             t0 = time.time()
             bxs, cls, scs, valid = self._infer(
