@@ -162,6 +162,12 @@ class MultiGridDataGenerator:
             # bucketed multi-scale (reference data/utils.py:15-29)
             max_side = max(self.input_shape)
             options = [s for s in MULTISCALE_SHAPES if s[0] <= max_side]
+            if not options:
+                # input smaller than every bucket: synthesize /32 buckets
+                # below the nominal size
+                sides = [s for s in range(max(32, max_side // 2 // 32 * 32),
+                                          max_side + 1, 32)] or [max_side]
+                options = [(s, s) for s in sides]
             self._cur_hw = options[self.rng.randint(len(options))]
         return self._cur_hw
 
