@@ -93,6 +93,38 @@ class _CSPStage(nn.Module):
         return ConvBN(self.filters, 1, **kw)(x, train)
 
 
+@register_backbone('mobile_darknet')
+class MobileDarknet(nn.Module):
+    """Depthwise-separable Darknet-style backbone (edge/latency family).
+
+    Same stage plan and taps as Darknet53 but with separable convs inside
+    the residual stages — the backbone counterpart of the reference's
+    'lite' separable head primitives (models/layers.py:75-95).
+    """
+
+    dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
+    bn_momentum: float = 0.99
+    out_channels: Tuple[int, int, int] = (128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Taps:
+        from .layers import SeparableConvBN
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  bn_momentum=self.bn_momentum)
+        x = ConvBN(16, 3, **kw)(x, train)
+        taps = []
+        for i, (filters, blocks) in enumerate(
+                [(32, 1), (64, 1), (128, 2), (256, 2), (512, 2)]):
+            x = ConvBN(filters, 3, strides=2, **kw)(x, train)
+            for _ in range(blocks):
+                y = SeparableConvBN(filters, 3, **kw)(x, train)
+                x = x + y
+            if i >= 2:
+                taps.append(x)
+        return tuple(taps)
+
+
 @register_backbone('csp_darknet53')
 class CSPDarknet53(nn.Module):
     """Real CSPDarknet53 (the reference only stubs this architecture)."""

@@ -104,6 +104,13 @@ def multigriddet_resnet(**kwargs) -> MultiGridDet:
     return _build(ResNet50, **kwargs)
 
 
+@register_model('multigriddet_mobile')
+def multigriddet_mobile(**kwargs) -> MultiGridDet:
+    """Depthwise-separable backbone + lite head: the edge/latency preset."""
+    from .darknet import MobileDarknet
+    return _build(MobileDarknet, lite=True, **kwargs)
+
+
 class TinyBackbone(nn.Module):
     """Minimal 5-stride backbone for smoke tests and CI (not in reference)."""
 

@@ -39,7 +39,8 @@ def test_outputs_float32_under_bf16_compute():
                                   'multigriddet_resnet',
                                   'multigriddet_darknet_lite',
                                   'multigriddet_darknet_spp',
-                                  'multigriddet_darknet_panet'])
+                                  'multigriddet_darknet_panet',
+                                  'multigriddet_mobile'])
 def test_other_presets_build(name):
     model = create_model(name, num_classes=2)
     _, outs = _init_and_apply(model)
