@@ -10,7 +10,7 @@ Learning-rate priority matches the reference: ``training.learning_rate`` >
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

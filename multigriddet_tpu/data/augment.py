@@ -20,9 +20,6 @@ Conventions:
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

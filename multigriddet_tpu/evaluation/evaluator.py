@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ import numpy as np
 from PIL import Image
 
 from ..config import build_model_from_config
-from ..data.annotations import (letterbox_image, load_annotation_lines,
+from ..data.annotations import (load_annotation_lines,
                                 parse_annotation_line)
 from ..ops.geometry import undo_letterbox_boxes
 from ..training.checkpoint import load_params

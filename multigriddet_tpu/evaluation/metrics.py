@@ -15,7 +15,7 @@ Predictions: dict image_id -> {'boxes': [N,4], 'classes': [N],
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

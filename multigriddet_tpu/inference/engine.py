@@ -24,7 +24,6 @@ from ..data.annotations import letterbox_image
 from ..ops.geometry import undo_letterbox_boxes
 from ..training.checkpoint import load_params
 from ..training.steps import make_infer_step
-from ..utils.anchors import load_classes
 from ..utils.visualization import draw_boxes, get_colors
 
 _IMG_EXTS = ('.jpg', '.jpeg', '.png', '.bmp', '.webp')

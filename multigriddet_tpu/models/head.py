@@ -15,7 +15,7 @@ A 'lite' variant swaps 3x3 convs for depthwise-separable ones, and
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ capability, no model surgery, works under jit/shard_map.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any
 
 import flax.struct
 import jax

@@ -11,8 +11,7 @@ so collectives ride the ICI with no hand-written comms.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

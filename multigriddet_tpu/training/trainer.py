@@ -22,11 +22,10 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config import (build_model_from_config, class_weights_from_config,
@@ -37,8 +36,7 @@ from .checkpoint import CheckpointManager, load_params, save_params
 from .state import TrainState, count_params, create_train_state, \
     partition_optimizer
 from ..parallel import image_partition_spec
-from .steps import make_eval_step, make_mesh, make_train_step, replicate, \
-    shard_batch
+from .steps import make_eval_step, make_mesh, make_train_step
 
 
 class MultiGridTrainer:
