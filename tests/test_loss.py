@@ -166,3 +166,25 @@ def test_ignore_mask_suppresses_negative_obj_loss(y_true):
                              INPUT_HW, cfg_no_ignore)
     # with the ignore mask active the duplicate costs less objectness
     assert float(m_dup['objectness']) < float(m_no['objectness'])
+
+
+def test_consensus_zero_when_group_agrees(y_true):
+    """If all cells in a 3x3 assignment group predict identically, the
+    consensus variance terms must be ~zero (multigrid_loss.py:941-1043)."""
+    preds = _perfect_preds(y_true)
+    cfg = LossConfig(loss_option=2, use_consensus_loss=True)
+    # constant predictions per channel across space -> zero variance
+    const_preds = [jnp.broadcast_to(p[:, :1, :1, :], p.shape)
+                   for p in preds]
+    _, m = multigrid_loss_jit(const_preds, y_true, ANCHORS, NUM_CLASSES,
+                              INPUT_HW, cfg)
+    assert float(m['consensus_coord']) < 1e-6
+    assert float(m['consensus_obj']) < 1e-6
+    assert float(m['consensus_class']) < 1e-6
+    # and non-constant predictions produce positive variance
+    rng = np.random.RandomState(5)
+    noisy = [jnp.asarray(rng.randn(*np.asarray(t).shape).astype(np.float32))
+             for t in y_true]
+    _, m2 = multigrid_loss_jit(noisy, y_true, ANCHORS, NUM_CLASSES,
+                               INPUT_HW, cfg)
+    assert float(m2['consensus_coord']) > 1e-4
