@@ -219,6 +219,16 @@ class MultiGridTrainer:
         log_dir = self.output_cfg.get('log_dir', 'logs/training')
         os.makedirs(model_dir, exist_ok=True)
         os.makedirs(log_dir, exist_ok=True)
+        tb_cfg = self.callbacks_cfg.get('tensorboard', {}) or {}
+        tb_writer = None
+        if tb_cfg:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                tb_writer = SummaryWriter(
+                    tb_cfg.get('log_dir', os.path.join(log_dir,
+                                                       'tensorboard')))
+            except ImportError:
+                pass
         ckpt_cfg = self.callbacks_cfg.get('checkpoint', {}) or {}
         ckpt = CheckpointManager(
             ckpt_cfg.get('save_dir', os.path.join(log_dir, 'checkpoints')),
@@ -271,6 +281,11 @@ class MultiGridTrainer:
                 self.history.append(record)
                 with open(os.path.join(log_dir, 'history.jsonl'), 'a') as f:
                     f.write(json.dumps(record) + '\n')
+                if tb_writer is not None:
+                    for k, v in record.items():
+                        if isinstance(v, (int, float)):
+                            tb_writer.add_scalar(k, v, epoch)
+                    tb_writer.flush()
                 monitor = val_m.get('val_loss', train_m.get('loss', 0.0))
                 print(f"epoch {epoch}: loss={train_m.get('loss', 0):.4f} "
                       f"val_loss={val_m.get('val_loss', float('nan')):.4f} "
@@ -317,5 +332,7 @@ class MultiGridTrainer:
         save_params(final_path, {'params': params,
                                  'batch_stats': batch_stats})
         print(f'Saved final model to {final_path}')
+        if tb_writer is not None:
+            tb_writer.close()
         ckpt.close()
         return self.history

@@ -93,3 +93,19 @@ def test_detect_batch_serving(config):
     assert len(results) == 3
     for b, c, s in results:
         assert len(b) == len(c) == len(s)
+
+
+def test_video_mode(config, tmp_path):
+    cv2 = pytest.importorskip('cv2')
+    src = str(tmp_path / 'in.mp4')
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*'mp4v'), 5, (64, 48))
+    rng = np.random.RandomState(4)
+    for _ in range(4):
+        w.write(rng.randint(0, 255, (48, 64, 3)).astype('uint8'))
+    w.release()
+    engine = MultiGridInference(config)
+    out = str(tmp_path / 'out.mp4')
+    frames = engine.predict_video(src, out, max_frames=3)
+    assert frames == 3
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
