@@ -177,7 +177,8 @@ class MultiGridEvaluator:
         results = calculate_map(
             predictions, ground_truths, self.spec['num_classes'],
             self.iou_thresholds, self.interp, self.optimize_classes,
-            self.class_names)
+            self.class_names,
+            use_parallel=bool(self.eval_cfg.get('use_parallel', False)))
         self.timing['metrics_s'] = time.time() - t0
         self.timing['total_s'] = time.time() - t0_all
         results['timing'] = dict(self.timing)

@@ -127,8 +127,14 @@ def calculate_map(predictions: Dict, ground_truths: Dict,
                   interpolation_method: str = 'coco',
                   optimize_classes: bool = True,
                   class_names: Optional[Sequence[str]] = None,
-                  compute_size_breakdown: bool = True) -> Dict:
+                  compute_size_breakdown: bool = True,
+                  use_parallel: bool = False) -> Dict:
     """Full mAP computation (reference calculate_map, metrics.py:529-814).
+
+    ``use_parallel`` fans the per-(class, threshold) AP tasks over a thread
+    pool (NumPy releases the GIL in the heavy kernels) — the counterpart of
+    the reference's multiprocessing Pool (metrics.py:596-647) without the
+    pickling cost.
 
     Returns a dict with mAP, mAP50, mAP75, per_class_ap, APS/APM/APL,
     per-class PR curves at IoU 0.5.
@@ -145,20 +151,33 @@ def calculate_map(predictions: Dict, ground_truths: Dict,
     ap_grid = np.zeros((num_classes, len(iou_thresholds)), np.float64)
     gt_counts = np.zeros(num_classes, np.int64)
     pr_curves = {}
-    for c in range(num_classes):
-        if c not in active:
-            continue
-        for ti, thr in enumerate(iou_thresholds):
-            pr, n_gt = _class_pr(predictions, ground_truths, c, thr)
-            if ti == 0:
-                gt_counts[c] = n_gt
-            if pr is None or n_gt == 0:
-                continue
+
+    def one_task(c, ti, thr):
+        pr, n_gt = _class_pr(predictions, ground_truths, c, thr)
+        ap = 0.0
+        curve = None
+        if pr is not None and n_gt > 0:
             recalls, precisions, _, _ = pr
-            ap_grid[c, ti] = average_precision(recalls, precisions,
-                                               interpolation_method)
+            ap = average_precision(recalls, precisions,
+                                   interpolation_method)
             if abs(thr - 0.5) < 1e-6:
-                pr_curves[c] = (recalls, precisions)
+                curve = (recalls, precisions)
+        return c, ti, thr, n_gt, ap, curve
+
+    tasks = [(c, ti, thr) for c in sorted(active) if c < num_classes
+             for ti, thr in enumerate(iou_thresholds)]
+    if use_parallel and len(tasks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results_iter = list(pool.map(lambda t: one_task(*t), tasks))
+    else:
+        results_iter = [one_task(*t) for t in tasks]
+    for c, ti, thr, n_gt, ap, curve in results_iter:
+        if ti == 0:
+            gt_counts[c] = n_gt
+        ap_grid[c, ti] = ap
+        if curve is not None:
+            pr_curves[c] = curve
 
     valid = gt_counts > 0
     results: Dict = {

@@ -150,3 +150,21 @@ def test_class_weight_helpers():
     w = compute_class_weights([100, 10, 1], 'balanced')
     assert w[2] > w[1] > w[0]
     assert (w >= 0.1).all() and (w <= 10.0).all()
+
+
+def test_calculate_map_parallel_matches_sequential():
+    rng = np.random.RandomState(7)
+    gts, preds = {}, {}
+    for i in range(6):
+        n = rng.randint(1, 5)
+        b = np.concatenate([rng.rand(n, 2) * 200,
+                            rng.rand(n, 2) * 60 + 10], -1).astype(np.float32)
+        c = rng.randint(0, 4, n).astype(np.int32)
+        gts[i] = {'boxes': b, 'classes': c}
+        preds[i] = {'boxes': b + rng.randn(n, 4).astype(np.float32) * 4,
+                    'classes': c, 'scores': rng.rand(n).astype(np.float32)}
+    seq = calculate_map(preds, gts, 4, iou_thresholds=[0.5, 0.75])
+    par = calculate_map(preds, gts, 4, iou_thresholds=[0.5, 0.75],
+                        use_parallel=True)
+    assert seq['mAP'] == pytest.approx(par['mAP'])
+    assert seq['mAP50'] == pytest.approx(par['mAP50'])
