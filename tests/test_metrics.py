@@ -168,3 +168,18 @@ def test_calculate_map_parallel_matches_sequential():
                         use_parallel=True)
     assert seq['mAP'] == pytest.approx(par['mAP'])
     assert seq['mAP50'] == pytest.approx(par['mAP50'])
+
+
+def test_kmeans_anchor_tool(tmp_path):
+    import sys
+    sys.path.insert(0, 'tools')
+    from compute_anchors import iou_wh as tool_iou, kmeans_anchors
+    rng = np.random.RandomState(0)
+    # two well-separated clusters -> k-means must find both
+    wh = np.concatenate([rng.normal(30, 2, (100, 2)),
+                         rng.normal(120, 4, (100, 2))]).clip(5, None)
+    centers = kmeans_anchors(wh, 2)
+    sizes = sorted(centers[:, 0])
+    assert 25 < sizes[0] < 35 and 110 < sizes[1] < 130
+    mean_iou = float(np.mean(np.max(tool_iou(wh, centers), axis=1)))
+    assert mean_iou > 0.85
