@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Flagship end-to-end validation: train the 45M Darknet53 on synthetic
+shapes and reach high mAP through the full production pipeline.
+
+Trains `multigriddet_darknet` (bf16, mosaic + flips + zoom augmentation,
+cosine-warmup schedule) on 200 generated 4-class shape images, then
+evaluates with the fused forward+decode+NMS path and the custom mAP.
+
+Last verified on TPU v5e: 120 epochs in ~206 s of stepping ->
+mAP50 = 0.946, mAP@0.5:0.95 = 0.711 (per-class AP50 0.93-0.98).
+
+Usage:  python tools/validate_flagship.py
+"""
+
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import os, time, numpy as np, jax, jax.numpy as jnp, optax
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from PIL import Image, ImageDraw
+from multigriddet_tpu.models import create_model
+from multigriddet_tpu.losses import LossConfig
+from multigriddet_tpu.data import MultiGridDataGenerator, load_annotation_lines
+from multigriddet_tpu.data.annotations import parse_annotation_line, letterbox_image
+from multigriddet_tpu.training import create_train_state, make_train_step, make_infer_step, save_params
+from multigriddet_tpu.evaluation import calculate_map, format_results
+
+root='/tmp/mgd_flagship_validation'; os.makedirs(root, exist_ok=True)
+rng=np.random.RandomState(0); lines=[]
+SHAPES = ['rect', 'ellipse', 'tri', 'cross']
+COLORS = [(230,40,40),(40,230,40),(60,60,230),(230,230,40)]
+for i in range(200):
+    img = Image.new('RGB',(256,256), tuple(rng.randint(0,50,3)))
+    d = ImageDraw.Draw(img)
+    toks=[]
+    for _ in range(rng.randint(1,4)):
+        cls = rng.randint(0,4)
+        w,h = rng.randint(40,110), rng.randint(40,110)
+        x1,y1 = rng.randint(0,256-w), rng.randint(0,256-h)
+        col = COLORS[cls]
+        if SHAPES[cls]=='rect': d.rectangle([x1,y1,x1+w,y1+h], fill=col)
+        elif SHAPES[cls]=='ellipse': d.ellipse([x1,y1,x1+w,y1+h], fill=col)
+        elif SHAPES[cls]=='tri': d.polygon([(x1+w//2,y1),(x1,y1+h),(x1+w,y1+h)], fill=col)
+        else:
+            d.rectangle([x1+w//3,y1,x1+2*w//3,y1+h], fill=col)
+            d.rectangle([x1,y1+h//3,x1+w,y1+2*h//3], fill=col)
+        toks.append(f'{x1},{y1},{x1+w},{y1+h},{cls}')
+    p=f'{root}/i{i}.jpg'; img.save(p, quality=95)
+    lines.append(p+' '+' '.join(toks))
+open(f'{root}/ann.txt','w').write('\n'.join(lines)+'\n')
+
+ANCHORS=[np.array([[96,96]],np.float32),np.array([[56,56]],np.float32),np.array([[28,28]],np.float32)]
+HW, C, B = (256,256), 4, 16
+gen = MultiGridDataGenerator(load_annotation_lines(f'{root}/ann.txt'), ANCHORS, C, HW,
+    batch_size=B, max_boxes=8,
+    augment={'enabled': True, 'mosaic_prob': 0.2, 'mixup_prob': 0.0, 'hflip_prob': 0.5,
+             'scale_range': (0.85, 1.15), 'rotate_prob': 0.0, 'grayscale_prob': 0.0},
+    train=True, seed=0)
+model = create_model('multigriddet_darknet', num_anchors=(1,1,1), num_classes=C,
+                     dtype=jnp.bfloat16, bn_momentum=0.9)
+v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1,*HW,3)), train=False))()
+EPOCHS = 120
+steps_per_epoch = len(gen)
+sched = optax.warmup_cosine_decay_schedule(1e-5, 1e-3, 3*steps_per_epoch, EPOCHS*steps_per_epoch, 1e-6)
+tx = optax.adam(sched)
+state = create_train_state(v['params'], v['batch_stats'], tx)
+step = make_train_step(model, tx, ANCHORS, C, HW,
+    LossConfig(loss_option=2, coord_scale=5.0, no_object_scale=0.5, label_smoothing=0.01),
+    donate=False)
+t0=time.time()
+for epoch in range(EPOCHS):
+    for images, y_true, _ in gen:
+        state, m = step(state, images, y_true)
+    if epoch % 10 == 0:
+        print(f'epoch {epoch} loss {float(m["loss"]):.3f} ({time.time()-t0:.0f}s)', flush=True)
+print('final loss', float(m['loss']), f'({time.time()-t0:.0f}s)')
+save_params(f'{root}/flagship.msgpack', {'params': state.params, 'batch_stats': state.batch_stats})
+
+infer = make_infer_step(model, ANCHORS, HW, confidence=0.25, max_boxes=12, pre_nms_top_k=128)
+trained = {'params': state.params, 'batch_stats': state.batch_stats}
+preds, gts = {}, {}
+lines = load_annotation_lines(f'{root}/ann.txt', shuffle=False)
+bs = 16
+for start in range(0, len(lines), bs):
+    chunk = lines[start:start+bs]
+    arrs, metas = [], []
+    for line in chunk:
+        path, b = parse_annotation_line(line)
+        arr,_,_,_ = letterbox_image(Image.open(path).convert('RGB'), HW)
+        arrs.append(arr); metas.append(b)
+    batch = jnp.asarray(np.stack(arrs))
+    bx, cl, sc, valid = infer(trained, batch)
+    bx, cl, sc, valid = map(np.asarray, (bx, cl, sc, valid))
+    for j, b in enumerate(metas):
+        k = valid[j]
+        preds[start+j] = {'boxes': bx[j][k], 'classes': cl[j][k].astype(np.int32), 'scores': sc[j][k]}
+        gts[start+j] = {'boxes': np.stack([b[:,0],b[:,1],b[:,2]-b[:,0],b[:,3]-b[:,1]],-1),
+                        'classes': b[:,4].astype(np.int32)}
+r = calculate_map(preds, gts, C)
+print(format_results(r))
+print('FLAGSHIP mAP50:', r['mAP50'], 'mAP:', r['mAP'])
