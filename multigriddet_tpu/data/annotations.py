@@ -95,7 +95,7 @@ class HostImageLoader:
 
     def __init__(self, lines: Sequence[str], target_hw: Tuple[int, int],
                  max_boxes: int = 100, num_workers: int = 8,
-                 use_native: bool = True):
+                 use_native: bool = True, cache_images: bool = False):
         self.lines = list(lines)
         self.target_hw = tuple(target_hw)
         self.max_boxes = max_boxes
@@ -106,6 +106,10 @@ class HostImageLoader:
             self.use_native = native_available()
         else:
             self.use_native = False
+        # decoded-image cache keyed by (line, hw) — the reference's
+        # data_loader.cache_images option (train_config.yaml.example)
+        self.cache_images = cache_images
+        self._cache = {} if cache_images else None
 
     def _load_batch_pil(self, batch_lines, hw, indices=None):
         def safe(line):
@@ -119,6 +123,21 @@ class HostImageLoader:
     def load_batch(self, batch_lines: Sequence[str],
                    target_hw: Optional[Tuple[int, int]] = None):
         hw = target_hw or self.target_hw
+        if self._cache is not None:
+            missing = [l for l in batch_lines if (l, hw) not in self._cache]
+            if missing:
+                imgs, boxes = self._load_batch_uncached(missing, hw)
+                for i, line in enumerate(missing):
+                    self._cache[(line, hw)] = (imgs[i], boxes[i])
+            images = np.stack([self._cache[(l, hw)][0]
+                               for l in batch_lines])
+            boxes = np.stack([self._cache[(l, hw)][1]
+                              for l in batch_lines])
+            return images, boxes
+        return self._load_batch_uncached(batch_lines, hw)
+
+    def _load_batch_uncached(self, batch_lines: Sequence[str],
+                             hw: Tuple[int, int]):
         parsed = [parse_annotation_line(l) for l in batch_lines]
         paths = [p for p, _ in parsed]
         jpeg = all(p.lower().endswith(('.jpg', '.jpeg')) for p in paths)

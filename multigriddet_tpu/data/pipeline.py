@@ -129,7 +129,8 @@ class MultiGridDataGenerator:
                  num_workers: int = 8,
                  seed: int = 0,
                  drop_remainder: bool = True,
-                 multi_anchor_assign: bool = False):
+                 multi_anchor_assign: bool = False,
+                 cache_images: bool = False):
         self.lines = list(annotation_lines)
         self.anchors = [np.asarray(a, np.float32) for a in anchors]
         self.num_classes = num_classes
@@ -142,7 +143,8 @@ class MultiGridDataGenerator:
         self.rng = np.random.RandomState(seed)
         self.key = jax.random.PRNGKey(seed)
         self.loader = HostImageLoader(
-            self.lines, self.input_shape, max_boxes, num_workers)
+            self.lines, self.input_shape, max_boxes, num_workers,
+            cache_images=cache_images)
         self.drop_remainder = drop_remainder
         self.multi_anchor_assign = multi_anchor_assign
         self._anchors_tuple = tuple(

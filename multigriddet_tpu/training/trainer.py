@@ -90,13 +90,14 @@ class MultiGridTrainer:
         hw = tuple(self.spec['input_shape'][:2])
         loader_cfg = self.config.get('data_loader', {}) or {}
         workers = int(loader_cfg.get('num_workers', 8))
+        cache_images = bool(loader_cfg.get('cache_images', False))
         multi_anchor = bool(self.training_cfg.get('multi_anchor_assign',
                                                   False))
         self.train_gen = MultiGridDataGenerator(
             self.train_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, aug_cfg, train=True,
             rescale_interval=rescale_interval, num_workers=workers,
-            multi_anchor_assign=multi_anchor)
+            multi_anchor_assign=multi_anchor, cache_images=cache_images)
         self.val_gen = MultiGridDataGenerator(
             self.val_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, {'enabled': False}, train=False,

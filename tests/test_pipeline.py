@@ -89,3 +89,19 @@ def test_invert_xy_activation_roundtrip():
     x = invert_xy_activation(y)
     np.testing.assert_allclose(np.asarray(xy_activation(x)), np.asarray(y),
                                atol=1e-4)
+
+
+def test_cache_images_returns_same_batches(files):
+    loader_cached = HostImageLoader(files, (64, 64), max_boxes=4,
+                                    cache_images=True)
+    imgs1, boxes1 = loader_cached.load_batch(files[:3])
+    imgs2, boxes2 = loader_cached.load_batch(files[:3])
+    np.testing.assert_array_equal(imgs1, imgs2)
+    np.testing.assert_array_equal(boxes1, boxes2)
+    assert len(loader_cached._cache) == 3
+    plain = HostImageLoader(files, (64, 64), max_boxes=4)
+    imgs3, boxes3 = plain.load_batch(files[:3])
+    np.testing.assert_array_equal(imgs1, imgs3)
+    np.testing.assert_array_equal(boxes1, boxes3)
+    loader_cached.close()
+    plain.close()
