@@ -121,3 +121,28 @@ def test_trainer_end_to_end(dataset, tmp_path):
     assert 'mAP50' in results and np.isfinite(results['mAP50'])
     assert results['num_images'] == 4
     ev.print_results()
+
+
+def test_trainer_resume_from_checkpoint(dataset, tmp_path):
+    """resume.enabled restores the latest full TrainState (params +
+    optimizer) and continues from the recorded epoch."""
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import MultiGridTrainer
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+    config = load_config(str(cfg_path), config_type='train')
+    config['training']['transfer_epochs'] = 0
+    config['training']['epochs'] = 1
+    trainer = MultiGridTrainer(config)
+    trainer.train()
+
+    # second run: resume on, more epochs
+    config2 = load_config(str(cfg_path), config_type='train')
+    config2['training']['transfer_epochs'] = 0
+    config2['training']['epochs'] = 2
+    config2['resume'] = {'enabled': True}
+    trainer2 = MultiGridTrainer(config2)
+    history = trainer2.train()
+    # resumed at epoch >= 1, so at most one new epoch was trained
+    assert len(history) <= 1 or all(h['epoch'] >= 1 for h in history[1:])
