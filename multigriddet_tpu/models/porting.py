@@ -32,12 +32,51 @@ def _flatten_ordered(tree, prefix=()):
     return out
 
 
-def _collect_flax_units(params: Dict, batch_stats: Dict):
+def module_call_order(model, input_hw):
+    """True module execution order, traced from ``init``.
+
+    JAX pytrees sort dict keys, so a params tree that has passed through
+    jit loses creation order (``ConvBN_10`` sorts before ``ConvBN_2``, and
+    interleaved sibling classes scramble entirely).  The
+    capture-intermediates filter fires in execution order during tracing —
+    exactly the layer-creation order Keras uses for its HDF5 files.
+
+    Returns the ordered list of module paths (tuples) for Conv and
+    BatchNorm leaves.
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    order = []
+    seen = set()
+
+    def record(mdl, method_name):
+        if isinstance(mdl, (nn.Conv, nn.BatchNorm)):
+            path = tuple(mdl.path)
+            if path not in seen:
+                seen.add(path)
+                order.append(path)
+        return False  # capture nothing
+
+    jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *input_hw, 3), jnp.float32),
+        train=False, capture_intermediates=record))
+    return order
+
+
+def _collect_flax_units(params: Dict, batch_stats: Dict,
+                        call_order=None):
     """Group flax leaves into ordered conv / bn units.
 
     Returns a list of ('conv', {...paths}) / ('bn', {...paths}) in creation
     order.  A conv unit holds 'kernel' (+ optional 'bias'); a bn unit holds
     'scale', 'bias', 'mean', 'var'.
+
+    ``call_order`` (from :func:`module_call_order`) gives the true
+    execution order; without it the dict insertion order is used, which is
+    only correct for trees that never passed through a jax pytree (jit
+    sorts dict keys).
     """
     stats_index = {}
     for path, leaf in _flatten_ordered(batch_stats):
@@ -52,6 +91,11 @@ def _collect_flax_units(params: Dict, batch_stats: Dict):
             by_module[module] = {}
             order.append(module)
         by_module[module][leaf_name] = path
+    if call_order is not None:
+        # flax module paths name the Conv/BatchNorm leaves directly
+        ordered = [p for p in call_order if p in by_module]
+        missing = [m for m in order if m not in set(ordered)]
+        order = ordered + missing
     for module in order:
         leaves = by_module[module]
         if 'kernel' in leaves:
@@ -142,12 +186,17 @@ def _collect_h5_units(h5file):
 
 
 def port_keras_weights(h5_path: str, variables: Dict[str, Any],
-                       verbose: bool = True) -> Dict[str, Any]:
+                       verbose: bool = True, model=None,
+                       input_hw=None) -> Dict[str, Any]:
     """Load Keras h5 weights into flax ``{'params', 'batch_stats'}``.
 
     Conv and BN units are matched in creation order with shape checks;
     mismatches are reported and skipped (reference behavior: by-name ->
     by-position fallback with audit printing).
+
+    Pass ``model`` (+ ``input_hw``) so the true module execution order can
+    be traced — required whenever ``variables`` came through jit (jax
+    pytrees sort dict keys, scrambling numeric module suffixes).
 
     Returns new variables (copies; the input is not mutated).
     """
@@ -158,23 +207,31 @@ def port_keras_weights(h5_path: str, variables: Dict[str, Any],
     batch_stats = copy.deepcopy(
         _to_mutable(variables.get('batch_stats', {})))
 
-    flax_units = _collect_flax_units(params, batch_stats)
+    call_order = None
+    if model is not None:
+        if input_hw is None:
+            input_hw = (64, 64)
+        call_order = module_call_order(model, input_hw)
+    flax_units = _collect_flax_units(params, batch_stats, call_order)
     with h5py.File(h5_path, 'r') as f:
         h5_units = _collect_h5_units(f)
 
-    # Biased convs (the predict convs) and bias-free convs (everything
-    # ConvBN) are matched as separate ordered streams: Keras names them
-    # differently (conv2d_N vs predict_conv_N), which would otherwise
-    # scramble the interleaved creation order.
-    flax_convs = ([u for u in flax_units
-                   if u[0] == 'conv' and 'bias' not in u[1]]
-                  + [u for u in flax_units
-                     if u[0] == 'conv' and 'bias' in u[1]])
+    # Matching strategy.  Keras files list layers in the MODEL's
+    # topological order (both the legacy layer_names attr and the Keras-3
+    # `layers/` group, whose conv2d_N names are regenerated at save time);
+    # flax units come in execution (creation) order.  For DAGs with
+    # branches (the predict heads) these orders differ, but only by
+    # moving blocks of DISTINCT shapes around: units that share a shape
+    # keep their relative order.  So convs are matched per shape class
+    # (k-th h5 occurrence of a shape <-> k-th flax occurrence), biased
+    # (predict) and bias-free streams separately, and the resulting
+    # permutation is reused for the BN stream (every bias-free conv owns
+    # exactly one BN in both frameworks).
+    def split(units, biased):
+        return [u for u in units
+                if u[0] == 'conv' and (('bias' in u[1]) == biased)]
+
     flax_bns = [u for u in flax_units if u[0] == 'bn']
-    h5_convs = ([u for u in h5_units
-                 if u[0] == 'conv' and 'bias' not in u[1]]
-                + [u for u in h5_units
-                   if u[0] == 'conv' and 'bias' in u[1]])
     h5_bns = [u for u in h5_units if u[0] == 'bn']
 
     loaded = mismatched = 0
@@ -185,38 +242,63 @@ def port_keras_weights(h5_path: str, variables: Dict[str, Any],
             node = node[p]
         node[path[-1]] = np.asarray(value, np.float32)
 
-    for (kind, fu), (_, hu, lname) in zip(flax_convs, h5_convs):
-        target_shape = tuple(_get_path(params, fu['kernel']).shape)
-        if tuple(hu['kernel'].shape) != target_shape:
-            mismatched += 1
-            if verbose:
-                print(f'  shape mismatch {lname}: h5 {hu["kernel"].shape} '
-                      f'vs flax {target_shape}')
-            continue
-        set_path(params, fu['kernel'], hu['kernel'])
-        if 'bias' in fu and 'bias' in hu:
-            set_path(params, fu['bias'], hu['bias'])
-        loaded += 1
+    def match_stream(flax_convs, h5_convs):
+        """Per-shape-class matching.  Returns list of (fi, hi) pairs."""
+        from collections import defaultdict
+        by_shape_h5 = defaultdict(list)
+        for hi, (_, hu, _) in enumerate(h5_convs):
+            by_shape_h5[tuple(hu['kernel'].shape)].append(hi)
+        pairs = []
+        taken = defaultdict(int)
+        for fi, (_, fu) in enumerate(flax_convs):
+            shape = tuple(_get_path(params, fu['kernel']).shape)
+            pool = by_shape_h5.get(shape, [])
+            k = taken[shape]
+            if k < len(pool):
+                pairs.append((fi, pool[k]))
+                taken[shape] += 1
+        return pairs
 
-    for (kind, fu), (_, hu, lname) in zip(flax_bns, h5_bns):
-        target_shape = tuple(_get_path(params, fu['scale']).shape)
-        if hu['scale'] is None or tuple(hu['scale'].shape) != target_shape:
-            mismatched += 1
-            continue
-        set_path(params, fu['scale'], hu['scale'])
-        set_path(params, fu['bias'], hu['bias'])
-        # BN moving statistics (the part Keras by-name loading breaks on;
-        # reference fixes it manually at multigriddet_darknet.py:229-276)
-        if fu['mean'] is not None and hu['mean'] is not None:
-            set_path(batch_stats, fu['mean'], hu['mean'])
-            set_path(batch_stats, fu['var'], hu['var'])
-        loaded += 1
+    for biased in (False, True):
+        f_stream = split(flax_units, biased)
+        h_stream = split(h5_units, biased)
+        pairs = match_stream(f_stream, h_stream)
+        mismatched += max(len(f_stream), len(h_stream)) - len(pairs)
+        for fi, hi in pairs:
+            fu = f_stream[fi][1]
+            hu = h_stream[hi][1]
+            set_path(params, fu['kernel'], hu['kernel'])
+            if 'bias' in fu and 'bias' in hu:
+                set_path(params, fu['bias'], hu['bias'])
+            loaded += 1
+        if not biased and len(f_stream) == len(flax_bns) \
+                and len(h_stream) == len(h5_bns):
+            # BN-k belongs to conv-k in each stream: reuse the permutation
+            for fi, hi in pairs:
+                fu = flax_bns[fi][1]
+                hu = h5_bns[hi][1]
+                target_shape = tuple(_get_path(params, fu['scale']).shape)
+                if (hu['scale'] is None
+                        or tuple(hu['scale'].shape) != target_shape):
+                    mismatched += 1
+                    continue
+                set_path(params, fu['scale'], hu['scale'])
+                set_path(params, fu['bias'], hu['bias'])
+                # BN moving statistics (the part Keras by-name loading
+                # breaks on; reference fixes it manually at
+                # multigriddet_darknet.py:229-276)
+                if fu['mean'] is not None and hu['mean'] is not None:
+                    set_path(batch_stats, fu['mean'], hu['mean'])
+                    set_path(batch_stats, fu['var'], hu['var'])
+                loaded += 1
 
     if verbose:
         print(f'Ported {loaded} units from {h5_path} '
               f'({mismatched} shape mismatches; '
-              f'flax: {len(flax_convs)} convs / {len(flax_bns)} bns, '
-              f'h5: {len(h5_convs)} convs / {len(h5_bns)} bns)')
+              f'flax: {sum(u[0] == "conv" for u in flax_units)} convs / '
+              f'{len(flax_bns)} bns, '
+              f'h5: {sum(u[0] == "conv" for u in h5_units)} convs / '
+              f'{len(h5_bns)} bns)')
     return {'params': params, 'batch_stats': batch_stats}
 
 

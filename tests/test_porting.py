@@ -63,7 +63,8 @@ def test_port_roundtrip_numerics(tmp_path):
     x = np.random.RandomState(1).rand(2, 16, 16, 3).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
                            train=False)
-    ported = port_keras_weights(str(h5), variables)
+    ported = port_keras_weights(str(h5), variables, model=model,
+                                input_hw=(16, 16))
 
     got = np.asarray(model.apply(
         {'params': ported['params'], 'batch_stats': ported['batch_stats']},

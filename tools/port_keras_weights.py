@@ -37,7 +37,8 @@ def main():
     hw = tuple(spec['input_shape'][:2])
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), train=False))()
-    ported = port_keras_weights(args.h5, variables)
+    ported = port_keras_weights(args.h5, variables, model=model,
+                                input_hw=hw)
     save_params(args.out, ported)
     print(f'Wrote {args.out}')
 
