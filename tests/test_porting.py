@@ -71,3 +71,59 @@ def test_port_roundtrip_numerics(tmp_path):
         jnp.asarray(x), train=False))
     want = keras_model(x, training=False).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_port_legacy_h5_format(tmp_path):
+    """Legacy Keras-2 HDF5 layout (layer_names/weight_names attrs) — the
+    format of the reference's real checkpoints (model5.h5 era)."""
+    import h5py
+
+    model = MiniFlax()
+    x = np.random.RandomState(2).rand(1, 16, 16, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    rng = np.random.RandomState(3)
+
+    # handcraft a legacy-format file matching MiniFlax's architecture:
+    # conv(8,3x3) + bn + conv(16,3x3,s2) + bn + conv(4,1x1,bias)
+    specs = [
+        ('conv2d', {'kernel:0': rng.randn(3, 3, 3, 8)}),
+        ('batch_normalization', {
+            'gamma:0': rng.uniform(0.8, 1.2, 8),
+            'beta:0': rng.randn(8) * 0.1,
+            'moving_mean:0': rng.randn(8) * 0.2,
+            'moving_variance:0': rng.uniform(0.5, 1.5, 8)}),
+        ('conv2d_1', {'kernel:0': rng.randn(3, 3, 8, 16)}),
+        ('batch_normalization_1', {
+            'gamma:0': rng.uniform(0.8, 1.2, 16),
+            'beta:0': rng.randn(16) * 0.1,
+            'moving_mean:0': rng.randn(16) * 0.2,
+            'moving_variance:0': rng.uniform(0.5, 1.5, 16)}),
+        ('predict_conv_1', {'kernel:0': rng.randn(1, 1, 16, 4),
+                            'bias:0': rng.randn(4) * 0.1}),
+    ]
+    path = tmp_path / 'legacy.h5'
+    with h5py.File(path, 'w') as f:
+        f.attrs['layer_names'] = np.array(
+            [s[0].encode() for s in specs])
+        for lname, weights in specs:
+            grp = f.create_group(lname)
+            grp.attrs['weight_names'] = np.array(
+                [f'{lname}/{w}'.encode() for w in weights])
+            for wname, arr in weights.items():
+                grp.create_dataset(f'{lname}/{wname}',
+                                   data=arr.astype(np.float32))
+
+    ported = port_keras_weights(str(path), variables, model=model,
+                                input_hw=(16, 16))
+    # every unit loaded: first conv kernel and BN stats match the fixture
+    np.testing.assert_allclose(
+        np.asarray(ported['params']['ConvBN_0']['Conv_0']['kernel']),
+        specs[0][1]['kernel:0'], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(
+            ported['batch_stats']['ConvBN_0']['BatchNorm_0']['mean']),
+        specs[1][1]['moving_mean:0'], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ported['params']['PredictConv_0']['Conv_0']['bias']),
+        specs[4][1]['bias:0'], rtol=1e-6)
