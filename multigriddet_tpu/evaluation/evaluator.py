@@ -105,29 +105,46 @@ class MultiGridEvaluator:
         colors = get_colors(len(self.class_names))
         n_saved = 0
 
+        import queue
+        import threading
+
         from ..data.annotations import HostImageLoader
         loader = HostImageLoader(lines, self.input_hw, max_boxes=1,
                                  num_workers=8)
-        for start in range(0, len(lines), self.batch_size):
-            chunk = lines[start:start + self.batch_size]
-            batch_arr = np.zeros(
-                (self.batch_size, *self.input_hw, 3), np.uint8)
-            # decode+letterbox through the (native when available) loader
-            imgs_u8, _ = loader.load_batch(chunk)
-            batch_arr[:len(chunk)] = imgs_u8
-            metas = []
-            for bi, line in enumerate(chunk):
-                img_path, gt_boxes = parse_annotation_line(line)
-                if save_imgs and n_saved < max_save:
-                    with Image.open(img_path) as img:
-                        img = img.convert('RGB')
-                        iw, ih = img.size
-                        raw = np.asarray(img)
-                else:
-                    with Image.open(img_path) as img:
-                        iw, ih = img.size
-                    raw = None
-                metas.append((start + bi, gt_boxes, ih, iw, raw))
+        q: 'queue.Queue' = queue.Queue(maxsize=2)
+
+        def producer():
+            try:
+                for start in range(0, len(lines), self.batch_size):
+                    chunk = lines[start:start + self.batch_size]
+                    batch_arr = np.zeros(
+                        (self.batch_size, *self.input_hw, 3), np.uint8)
+                    # decode+letterbox through the (native) loader
+                    imgs_u8, _ = loader.load_batch(chunk)
+                    batch_arr[:len(chunk)] = imgs_u8
+                    metas = []
+                    for bi, line in enumerate(chunk):
+                        img_path, gt_boxes = parse_annotation_line(line)
+                        if save_imgs and start + bi < max_save:
+                            with Image.open(img_path) as img:
+                                img = img.convert('RGB')
+                                iw, ih = img.size
+                                raw = np.asarray(img)
+                        else:
+                            with Image.open(img_path) as img:
+                                iw, ih = img.size
+                            raw = None
+                        metas.append((start + bi, gt_boxes, ih, iw, raw))
+                    q.put((batch_arr, metas))
+            finally:
+                q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            batch_arr, metas = item
 
             t0 = time.time()
             bxs, cls, scs, valid = self._infer(
