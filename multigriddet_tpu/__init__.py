@@ -7,3 +7,22 @@ data-parallel execution over a jax.sharding.Mesh.
 """
 
 __version__ = '0.1.0'
+
+# Subpackages are imported lazily so `import multigriddet_tpu` stays cheap
+# (importing models pulls in flax; training pulls optax/orbax).
+_SUBPACKAGES = ('ops', 'models', 'losses', 'data', 'config', 'training',
+                'inference', 'evaluation', 'postprocess', 'parallel',
+                'utils')
+
+
+def __getattr__(name):
+    if name in _SUBPACKAGES:
+        import importlib
+        module = importlib.import_module(f'.{name}', __name__)
+        globals()[name] = module
+        return module
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBPACKAGES))
