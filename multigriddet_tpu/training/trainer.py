@@ -291,10 +291,13 @@ class MultiGridTrainer:
                 print(f"epoch {epoch}: loss={train_m.get('loss', 0):.4f} "
                       f"val_loss={val_m.get('val_loss', float('nan')):.4f} "
                       f"({train_m.get('images_per_sec', 0):.1f} img/s)")
-                ckpt.save(epoch, state,
-                          {'val_loss': monitor, **{k: v for k, v in
-                                                   train_m.items()
-                                                   if k == 'loss'}})
+                save_freq = int(self.output_cfg.get('save_frequency', 1)
+                                or 1)
+                if epoch % save_freq == 0 or epoch + 1 == until_epoch:
+                    ckpt.save(epoch, state,
+                              {'val_loss': monitor, **{k: v for k, v in
+                                                       train_m.items()
+                                                       if k == 'loss'}})
                 # early stopping / plateau bookkeeping
                 if monitor < best_val - 1e-6:
                     best_val = monitor
