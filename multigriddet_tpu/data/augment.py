@@ -127,6 +127,96 @@ def random_blur(key, images, boxes, prob=0.1):
     return jnp.where(apply, blurred, images), boxes
 
 
+def random_sharpness(key, images, boxes, prob=0.1, max_alpha=0.8):
+    """Unsharp-mask sharpening (legacy PIL sharpness aug parity)."""
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
+    alpha = jax.random.uniform(k2, (b, 1, 1, 1), minval=0.0,
+                               maxval=max_alpha)
+    pad = jnp.pad(images, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    acc = jnp.zeros_like(images)
+    h, w = images.shape[1], images.shape[2]
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + pad[:, dy:dy + h, dx:dx + w, :]
+    blurred = acc / 9.0
+    sharp = images + alpha * (images - blurred)
+    out = jnp.where(apply, jnp.clip(sharp, 0.0, 255.0), images)
+    return out, boxes
+
+
+def random_motion_blur(key, images, boxes, prob=0.05, taps=5):
+    """Directional 1-D blur in one of 4 directions (imgaug motion-blur
+    parity, data/augmentation.py legacy path)."""
+    b, h, w, _ = images.shape
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    direction = jax.random.randint(k2, (b,), 0, 4)
+    r = taps // 2
+    pad = jnp.pad(images, ((0, 0), (r, r), (r, r), (0, 0)), mode='edge')
+    shifts = {
+        0: [(0, d) for d in range(-r, r + 1)],     # horizontal
+        1: [(d, 0) for d in range(-r, r + 1)],     # vertical
+        2: [(d, d) for d in range(-r, r + 1)],     # diagonal
+        3: [(d, -d) for d in range(-r, r + 1)],    # anti-diagonal
+    }
+    variants = []
+    for k in range(4):
+        acc = jnp.zeros_like(images)
+        for dy, dx in shifts[k]:
+            acc = acc + pad[:, r + dy:r + dy + h, r + dx:r + dx + w, :]
+        variants.append(acc / taps)
+    stacked = jnp.stack(variants)                     # [4, B, H, W, 3]
+    blurred = jnp.take_along_axis(
+        stacked, direction[None, :, None, None, None], axis=0)[0]
+    out = jnp.where(apply[:, None, None, None], blurred, images)
+    return out, boxes
+
+
+def random_rotate_any(key, images, boxes, prob=0.05, max_deg=15.0):
+    """Arbitrary-angle rotation about the canvas center with gray fill
+    (legacy cv2 warpAffine path, reference data/augmentation.py:405-489);
+    boxes become the axis-aligned hull of their rotated corners."""
+    b, h, w, _ = images.shape
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    theta = jnp.where(
+        apply,
+        jax.random.uniform(k2, (b,), minval=-max_deg, maxval=max_deg)
+        * jnp.pi / 180.0,
+        0.0)
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - (h - 1) / 2.0
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - (w - 1) / 2.0
+
+    def one(img, bx, t):
+        cos_t, sin_t = jnp.cos(t), jnp.sin(t)
+        # inverse mapping: output pixel -> input coordinate
+        src_x = cos_t * xs + sin_t * ys + (w - 1) / 2.0
+        src_y = -sin_t * xs + cos_t * ys + (h - 1) / 2.0
+        from jax.scipy.ndimage import map_coordinates
+        channels = [
+            map_coordinates(img[..., c] - GRAY_FILL, [src_y, src_x],
+                            order=1, mode='constant', cval=0.0) + GRAY_FILL
+            for c in range(3)]
+        out = jnp.stack(channels, axis=-1)
+        # rotate box corners (forward map) and take the AABB
+        cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+        x1, y1, x2, y2 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
+        corners_x = jnp.stack([x1, x2, x1, x2], -1) - cx   # [N,4]
+        corners_y = jnp.stack([y1, y1, y2, y2], -1) - cy
+        rx = cos_t * corners_x - sin_t * corners_y + cx
+        ry = sin_t * corners_x + cos_t * corners_y + cy
+        nb = jnp.stack([rx.min(-1), ry.min(-1), rx.max(-1), ry.max(-1),
+                        bx[:, 4]], -1)
+        nb = _zero_dead(nb, _valid(bx))
+        return out, nb
+
+    out_img, out_box = jax.vmap(one)(images, boxes, theta)
+    return out_img, _clip_filter(out_box, w, h)
+
+
 def random_grayscale(key, images, boxes, prob=0.1):
     b = images.shape[0]
     apply = jax.random.uniform(key, (b, 1, 1, 1)) < prob

@@ -73,6 +73,19 @@ def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
         if cfg.get('blur_prob', 0.0) > 0:
             images, boxes = A.random_blur(keys[11], images, boxes,
                                           prob=cfg['blur_prob'])
+        if cfg.get('sharpness_prob', 0.0) > 0:
+            images, boxes = A.random_sharpness(
+                jax.random.fold_in(key, 101), images, boxes,
+                prob=cfg['sharpness_prob'])
+        if cfg.get('motion_blur_prob', 0.0) > 0:
+            images, boxes = A.random_motion_blur(
+                jax.random.fold_in(key, 102), images, boxes,
+                prob=cfg['motion_blur_prob'])
+        if cfg.get('rotate_any_prob', 0.0) > 0:
+            images, boxes = A.random_rotate_any(
+                jax.random.fold_in(key, 103), images, boxes,
+                prob=cfg['rotate_any_prob'],
+                max_deg=cfg.get('rotate_max_deg', 15.0))
         images, boxes = A.random_rotate90(
             keys[7], images, boxes, prob=cfg.get('rotate_prob', 0.05))
         if cfg.get('enhance_type') == 'gridmask':

@@ -132,3 +132,34 @@ def test_gridmask_survival(batch):
     alive = (ob[..., 2] - ob[..., 0]) > 0
     orig = np.asarray(boxes)
     assert (ob[alive] == orig[alive]).all()
+
+
+def test_sharpness_and_motion_blur_leave_boxes(batch):
+    images, boxes = batch
+    for fn in (A.random_sharpness, A.random_motion_blur):
+        out_img, out_box = jax.jit(
+            lambda k, i, b, f=fn: f(k, i, b, prob=1.0))(
+                jax.random.PRNGKey(7), images, boxes)
+        np.testing.assert_array_equal(np.asarray(out_box),
+                                      np.asarray(boxes))
+        assert float(jnp.min(out_img)) >= 0
+        assert float(jnp.max(out_img)) <= 255
+        # images actually changed
+        assert not np.allclose(np.asarray(out_img), np.asarray(images))
+
+
+def test_rotate_any_boxes_cover_content(batch):
+    images, boxes = batch
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_rotate_any(k, i, b, prob=1.0,
+                                            max_deg=20.0))(
+            jax.random.PRNGKey(8), images, boxes)
+    ob = np.asarray(out_box)
+    orig = np.asarray(boxes)
+    alive = (ob[..., 2] - ob[..., 0]) > 0
+    assert alive[:, :2].any()
+    # rotated AABBs are at least as large as the originals (hull property)
+    w0 = orig[..., 2] - orig[..., 0]
+    w1 = ob[..., 2] - ob[..., 0]
+    assert (w1[alive] >= w0[alive] - 1.5).all()
+    assert (ob[..., 0] >= -1e-3).all() and (ob[..., 2] <= W + 1e-3).all()
