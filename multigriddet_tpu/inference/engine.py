@@ -39,6 +39,7 @@ class MultiGridInference:
         self.nms_method = det.get('nms_method', 'diou')
         self.use_iol = bool(det.get('use_iol', True))
         self.max_boxes = int(det.get('max_boxes', 100))
+        self.class_aware = bool(det.get('class_aware_nms', False))
         self._load_model()
 
     def _load_model(self):
@@ -65,7 +66,7 @@ class MultiGridInference:
             self.model, self.spec['anchors'], self.input_hw,
             confidence=self.confidence, nms_threshold=self.nms_threshold,
             nms_method=self.nms_method, use_iol=self.use_iol,
-            max_boxes=self.max_boxes)
+            max_boxes=self.max_boxes, class_aware=self.class_aware)
 
     # ------------------------------------------------------------------
 

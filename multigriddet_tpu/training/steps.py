@@ -106,6 +106,7 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
                     use_iol: bool = True,
                     max_boxes: int = 100,
                     pre_nms_top_k: int = 1024,
+                    class_aware: bool = False,
                     mesh: Optional[Mesh] = None) -> Callable:
     """Fused forward + decode + NMS, entirely on device.
 
@@ -134,6 +135,7 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
         classes = jnp.argmax(dec[..., 5:], axis=-1)
         return batched_nms(tl, scores, classes, confidence, nms_threshold,
                            max_boxes=max_boxes, pre_nms_top_k=pre_nms_top_k,
-                           nms_method=nms_method, use_iol=use_iol)
+                           nms_method=nms_method, use_iol=use_iol,
+                           class_aware=class_aware)
 
     return jax.jit(step)

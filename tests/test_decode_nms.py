@@ -208,3 +208,22 @@ def test_soft_nms_matches_numpy_oracle(rng):
     kept_want = out > NEG_INF / 2
     np.testing.assert_array_equal(kept_got, kept_want)
     np.testing.assert_allclose(got[kept_got], out[kept_want], rtol=1e-5)
+
+
+def test_class_aware_nms_keeps_cross_class_overlaps(rng):
+    """class_aware=True must not suppress overlapping boxes of DIFFERENT
+    classes (the class-offset trick)."""
+    boxes = np.array([[10, 10, 40, 40], [12, 12, 40, 40]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    classes = np.array([0, 1], np.int64)
+    # agnostic: second suppressed
+    _, _, _, v_ag = batched_nms(boxes[None], scores[None], classes[None],
+                                0.1, 0.5, max_boxes=4, pre_nms_top_k=4,
+                                nms_method='standard', use_iol=False)
+    assert int(np.asarray(v_ag).sum()) == 1
+    # class-aware: both kept
+    _, _, _, v_cls = batched_nms(boxes[None], scores[None], classes[None],
+                                 0.1, 0.5, max_boxes=4, pre_nms_top_k=4,
+                                 nms_method='standard', use_iol=False,
+                                 class_aware=True)
+    assert int(np.asarray(v_cls).sum()) == 2
