@@ -146,3 +146,27 @@ def test_trainer_resume_from_checkpoint(dataset, tmp_path):
     history = trainer2.train()
     # resumed at epoch >= 1, so at most one new epoch was trained
     assert len(history) <= 1 or all(h['epoch'] >= 1 for h in history[1:])
+
+
+def test_trainer_reduce_on_plateau(dataset, tmp_path):
+    """The plateau path rebuilds the optimizer with a reduced LR without
+    crashing, and training completes."""
+    import yaml
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import MultiGridTrainer
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+    config = load_config(str(cfg_path), config_type='train')
+    config['training']['transfer_epochs'] = 0
+    config['training']['epochs'] = 3
+    config['lr_schedule'] = {'type': 'reduce_on_plateau', 'factor': 0.5,
+                             'patience': 1, 'min_lr': 1e-7}
+    config['training']['learning_rate'] = 1e-12
+    trainer = MultiGridTrainer(config)
+    history = trainer.train()
+    assert len(history) == 3
+    assert all(np.isfinite(h['loss']) for h in history)
+    # the plateau machinery tracked an LR (reduced or not depending on
+    # BN-driven val jitter); the reduction path itself is deterministic:
+    assert getattr(trainer, '_plateau_lr', None) is not None
