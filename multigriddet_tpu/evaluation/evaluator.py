@@ -236,6 +236,22 @@ class MultiGridEvaluator:
         with open(path, 'w') as f:
             json.dump(out, f, indent=2)
         print(f'Saved results to {path}')
+        if self.eval_cfg.get('save_detections'):
+            # COCO results format ([{image_id, category_id, bbox, score}])
+            # for cross-checking with pycocotools-style tooling
+            dets = []
+            for img_id, p in self.predictions.items():
+                for box, cls, score in zip(p['boxes'], p['classes'],
+                                           p['scores']):
+                    dets.append({
+                        'image_id': int(img_id),
+                        'category_id': int(cls),
+                        'bbox': [round(float(v), 2) for v in box],
+                        'score': round(float(score), 5)})
+            dpath = os.path.join(self.results_dir, 'detections.json')
+            with open(dpath, 'w') as f:
+                json.dump(dets, f)
+            print(f'Saved {len(dets)} detections to {dpath}')
 
     def print_results(self):
         if self.results is None:

@@ -170,3 +170,33 @@ def test_trainer_reduce_on_plateau(dataset, tmp_path):
     # the plateau machinery tracked an LR (reduced or not depending on
     # BN-driven val jitter); the reduction path itself is deterministic:
     assert getattr(trainer, '_plateau_lr', None) is not None
+
+
+def test_evaluator_saves_coco_detections(dataset, tmp_path):
+    import json as _json
+    from multigriddet_tpu.evaluation import MultiGridEvaluator
+
+    root, ann, classes, anchors = dataset
+    eval_cfg = {
+        'model': {'type': 'preset', 'preset': {
+            'architecture': 'multigriddet_tiny', 'num_classes': 2,
+            'input_shape': [64, 64, 3], 'anchors_path': str(anchors),
+            'classes_path': str(classes)}},
+        'data': {'annotation': str(ann), 'classes_path': str(classes)},
+        'evaluation': {
+            'batch_size': 4, 'input_shape': [64, 64, 3],
+            'confidence_threshold': 0.01, 'max_images': 4,
+            'iou_thresholds': [0.5], 'save_results': True,
+            'save_detections': True,
+            'results_dir': str(tmp_path / 'res')},
+    }
+    ev = MultiGridEvaluator(eval_cfg)
+    ev.evaluate()
+    det_path = tmp_path / 'res' / 'detections.json'
+    assert det_path.exists()
+    dets = _json.loads(det_path.read_text())
+    if dets:
+        d = dets[0]
+        assert set(d) == {'image_id', 'category_id', 'bbox', 'score'}
+        assert len(d['bbox']) == 4
+    assert (tmp_path / 'res' / 'evaluation_results.json').exists()
