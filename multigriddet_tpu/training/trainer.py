@@ -186,6 +186,14 @@ class MultiGridTrainer:
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + v
         agg = {k: float(v) for k, v in agg.items()}
+        if self.training_cfg.get('nan_check', True) and not all(
+                jnp.isfinite(jnp.asarray(v)) for v in agg.values()):
+            bad = {k: v for k, v in agg.items()
+                   if not float(jnp.isfinite(jnp.asarray(v)))}
+            raise FloatingPointError(
+                f'non-finite training metrics at epoch {epoch}: {bad} '
+                f'(the reference guards with assert_all_finite; set '
+                f'training.nan_check: false to disable)')
         dt = time.time() - t0
         avg = {k: v / max(n, 1) for k, v in agg.items()}
         avg['epoch_time_s'] = dt
