@@ -52,16 +52,88 @@ def _clip_filter(boxes: jnp.ndarray, w: float, h: float,
 
 # ---------------------------------------------------------------------------
 # Photometric ops (match the reference's [0,255]-domain TF ops,
-# generators.py:260-344).
+# generators.py:260-344).  The deterministic adjust_* cores replicate
+# tf.image.adjust_* exactly (pinned by tests/test_reference_parity.py
+# against recorded reference fixtures); the random_* wrappers add the
+# per-sample probability gates and parameter draws.  Everything is
+# elementwise (VPU-friendly) and fuses under jit.
 # ---------------------------------------------------------------------------
+
+def _rgb_to_hsv(rgb: jnp.ndarray):
+    """RGB [..,3] in [0,1] -> (h, s, v) each [..]; tf.image.rgb_to_hsv."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    v = jnp.max(rgb, axis=-1)
+    mn = jnp.min(rgb, axis=-1)
+    d = v - mn
+    safe_d = jnp.where(d > 0, d, 1.0)
+    h = jnp.where(
+        v == r, ((g - b) / safe_d) % 6.0,
+        jnp.where(v == g, (b - r) / safe_d + 2.0, (r - g) / safe_d + 4.0))
+    h = jnp.where(d > 0, h / 6.0, 0.0)
+    s = jnp.where(v > 0, d / jnp.where(v > 0, v, 1.0), 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
+    """(h, s, v) -> RGB [..,3] in [0,1]; tf.image.hsv_to_rgb."""
+    h6 = h * 6.0
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    conds = [i == k for k in range(6)]
+    r = jnp.select(conds, [v, q, p, p, t, v])
+    g = jnp.select(conds, [t, v, v, q, p, p])
+    b = jnp.select(conds, [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def adjust_brightness(images: jnp.ndarray, delta) -> jnp.ndarray:
+    """tf.image.adjust_brightness on [0,255] images; delta in [0,1] units
+    (reference tf_random_brightness, generators.py:259-272)."""
+    return jnp.clip(images + delta * 255.0, 0.0, 255.0)
+
+
+def adjust_contrast(images: jnp.ndarray, factor) -> jnp.ndarray:
+    """tf.image.adjust_contrast: scale around the PER-CHANNEL spatial mean
+    (reference tf_random_contrast, generators.py:275-287)."""
+    mean = jnp.mean(images, axis=(-3, -2), keepdims=True)
+    return jnp.clip((images - mean) * factor + mean, 0.0, 255.0)
+
+
+def adjust_saturation(images: jnp.ndarray, factor) -> jnp.ndarray:
+    """tf.image.adjust_saturation: scale S in HSV space
+    (reference tf_random_saturation, generators.py:290-302)."""
+    h, s, v = _rgb_to_hsv(images / 255.0)
+    s = jnp.clip(s * factor, 0.0, 1.0)
+    return jnp.clip(_hsv_to_rgb(h, s, v) * 255.0, 0.0, 255.0)
+
+
+def adjust_hue(images: jnp.ndarray, delta) -> jnp.ndarray:
+    """tf.image.adjust_hue: rotate H in HSV space, wrapping mod 1
+    (reference tf_random_hue, generators.py:305-317)."""
+    h, s, v = _rgb_to_hsv(images / 255.0)
+    h = (h + delta) % 1.0
+    return jnp.clip(_hsv_to_rgb(h, s, v) * 255.0, 0.0, 255.0)
+
+
+def to_grayscale(images: jnp.ndarray) -> jnp.ndarray:
+    """tf.image.rgb_to_grayscale -> grayscale_to_rgb (ITU-R 601 luma;
+    reference tf_random_grayscale, generators.py:320-344)."""
+    gray = (0.2989 * images[..., 0:1] + 0.5870 * images[..., 1:2]
+            + 0.1140 * images[..., 2:3])
+    return jnp.broadcast_to(gray, images.shape)
+
 
 def random_brightness(key, images, boxes, max_delta=0.2, prob=0.5):
     b = images.shape[0]
     k1, k2 = jax.random.split(key)
     apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
     delta = jax.random.uniform(
-        k2, (b, 1, 1, 1), minval=-max_delta, maxval=max_delta) * 255.0
-    out = jnp.clip(images + jnp.where(apply, delta, 0.0), 0.0, 255.0)
+        k2, (b, 1, 1, 1), minval=-max_delta, maxval=max_delta)
+    out = adjust_brightness(images, jnp.where(apply, delta, 0.0))
     return out, boxes
 
 
@@ -70,9 +142,8 @@ def random_contrast(key, images, boxes, lower=0.8, upper=1.2, prob=0.5):
     k1, k2 = jax.random.split(key)
     apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
     factor = jax.random.uniform(k2, (b, 1, 1, 1), minval=lower, maxval=upper)
-    mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
-    out = jnp.where(apply, (images - mean) * factor + mean, images)
-    return jnp.clip(out, 0.0, 255.0), boxes
+    out = adjust_contrast(images, jnp.where(apply, factor, 1.0))
+    return out, boxes
 
 
 def random_saturation(key, images, boxes, lower=0.8, upper=1.2, prob=0.5):
@@ -80,36 +151,21 @@ def random_saturation(key, images, boxes, lower=0.8, upper=1.2, prob=0.5):
     k1, k2 = jax.random.split(key)
     apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
     factor = jax.random.uniform(k2, (b, 1, 1, 1), minval=lower, maxval=upper)
-    gray = jnp.mean(images, axis=-1, keepdims=True)
-    out = jnp.where(apply, gray + (images - gray) * factor, images)
-    return jnp.clip(out, 0.0, 255.0), boxes
+    out = adjust_saturation(images, jnp.where(apply, factor, 1.0)[..., 0])
+    return out, boxes
 
 
 def random_hue(key, images, boxes, max_delta=0.1, prob=0.5):
-    """Cheap hue jitter: rotate RGB channels toward their mean.
-
-    Full HSV round-trips are expensive on the VPU; this matches the visual
-    effect of the reference's +-0.1 hue jitter closely enough for training.
-    """
+    """Exact HSV hue rotation (tf.image.adjust_hue semantics); all
+    elementwise min/max/select chains, so XLA fuses it into the
+    surrounding augmentation program."""
     b = images.shape[0]
     k1, k2 = jax.random.split(key)
     apply = jax.random.uniform(k1, (b, 1, 1, 1)) < prob
-    theta = jax.random.uniform(
-        k2, (b, 1, 1, 1), minval=-max_delta, maxval=max_delta) * jnp.pi
-    # rotate channels around the luma axis (approximate YIQ hue rotation)
-    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    r, g, bl = images[..., 0:1], images[..., 1:2], images[..., 2:3]
-    y = 0.299 * r + 0.587 * g + 0.114 * bl
-    i = 0.596 * r - 0.274 * g - 0.322 * bl
-    q = 0.211 * r - 0.523 * g + 0.312 * bl
-    i2 = i * cos_t - q * sin_t
-    q2 = i * sin_t + q * cos_t
-    r2 = y + 0.956 * i2 + 0.621 * q2
-    g2 = y - 0.272 * i2 - 0.647 * q2
-    b2 = y - 1.106 * i2 + 1.703 * q2
-    rotated = jnp.concatenate([r2, g2, b2], axis=-1)
-    out = jnp.where(apply, rotated, images)
-    return jnp.clip(out, 0.0, 255.0), boxes
+    delta = jax.random.uniform(
+        k2, (b, 1, 1, 1), minval=-max_delta, maxval=max_delta)
+    out = adjust_hue(images, jnp.where(apply, delta, 0.0)[..., 0])
+    return out, boxes
 
 
 def random_blur(key, images, boxes, prob=0.1):
@@ -220,9 +276,7 @@ def random_rotate_any(key, images, boxes, prob=0.05, max_deg=15.0):
 def random_grayscale(key, images, boxes, prob=0.1):
     b = images.shape[0]
     apply = jax.random.uniform(key, (b, 1, 1, 1)) < prob
-    gray = (0.299 * images[..., 0:1] + 0.587 * images[..., 1:2]
-            + 0.114 * images[..., 2:3])
-    out = jnp.where(apply, jnp.broadcast_to(gray, images.shape), images)
+    out = jnp.where(apply, to_grayscale(images), images)
     return out, boxes
 
 

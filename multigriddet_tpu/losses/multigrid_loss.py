@@ -79,8 +79,10 @@ class LossConfig:
     consensus_center_tolerance: float = 1e-4
     loss_normalization: Tuple[str, ...] = ('batch',)
     max_gt_boxes: int = 64               # fixed GT capacity for ignore mask
-    legacy_wh_scale: bool = False        # replicate reference stride-inflated
-                                         # wh in the ignore-mask IoU
+    reference_compat: bool = False       # bit-exact reference numerics:
+                                         # quirky ignore mask (see
+                                         # _reference_compat) + squared
+                                         # anchor_scale
     eps: float = 1e-7
 
 
@@ -113,8 +115,7 @@ def _patches(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _center_gt_boxes(y_true: jnp.ndarray, anchors: jnp.ndarray,
-                     stride_hw: Tuple[float, float], max_boxes: int,
-                     legacy_wh_scale: bool):
+                     stride_hw: Tuple[float, float], max_boxes: int):
     """Recover the unique GT box set from center cells, fixed capacity.
 
     All <=9 cells of one GT decode to the same absolute box (the 9-cell
@@ -137,8 +138,6 @@ def _center_gt_boxes(y_true: jnp.ndarray, anchors: jnp.ndarray,
     cy = (txy[..., 1] + rows) * sh
     sel = jnp.argmax(y_true[..., 5:5 + na], axis=-1)
     wh = jnp.exp(y_true[..., 2:4]) * anchors[sel]
-    if legacy_wh_scale:
-        wh = wh * jnp.asarray([sw, sh], jnp.float32)
     flat = jnp.concatenate(
         [cx[..., None], cy[..., None], wh], axis=-1).reshape(b, -1, 4)
     score = is_center.astype(jnp.float32).reshape(b, -1)
@@ -177,7 +176,7 @@ def _ignore_mask(cfg: LossConfig, pred_xy, pred_wh, y_true, anchors,
     sh, sw = stride_hw
 
     gt_boxes, gt_mask = _center_gt_boxes(
-        y_true, anchors, stride_hw, cfg.max_gt_boxes, cfg.legacy_wh_scale)
+        y_true, anchors, stride_hw, cfg.max_gt_boxes)
 
     cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
     rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
@@ -186,14 +185,65 @@ def _ignore_mask(cfg: LossConfig, pred_xy, pred_wh, y_true, anchors,
     py = (pxy[..., 1] + rows) * sh
     # Per-anchor predicted wh: [B,gh,gw,A,2]
     pwh = jnp.exp(pred_wh)[..., None, :] * anchors[None, None, None]
-    if cfg.legacy_wh_scale:
-        pwh = pwh * jnp.asarray([sw, sh], jnp.float32)
     pxy_b = jnp.broadcast_to(
         jnp.stack([px, py], axis=-1)[..., None, :], pwh.shape)
     pred_boxes = jnp.concatenate([pxy_b, pwh], axis=-1).reshape(b, -1, 4)
 
     iou = _pairwise_iou_cxcywh(pred_boxes, gt_boxes, gt_mask)  # [B,N*A,G]
     iou_all = jnp.max(iou, axis=-1).reshape(b, gh, gw, na)
+
+    max_iou = jnp.max(iou_all, axis=-1, keepdims=True)
+    ignore = ((max_iou > cfg.ignore_thresh)
+              & (object_mask < 0.5)).astype(jnp.float32)
+    true_anchor_onehot = y_true[..., 5:5 + na]
+    assigned = jnp.sum(iou_all * true_anchor_onehot, axis=-1, keepdims=True)
+    assigned = jax.lax.stop_gradient(assigned * object_mask)
+    return ignore, assigned, jax.lax.stop_gradient(max_iou)
+
+
+def _reference_compat_ignore_mask(cfg: LossConfig, pred_xy, pred_wh, y_true, anchors,
+                        object_mask, stride_hw):
+    """Bit-exact replication of the reference ignore mask
+    (multigrid_loss.py:494-703), three quirks included:
+
+    1. The reference builds grid coordinates with
+       ``tf.meshgrid(grid_x, grid_y, indexing='ij')`` and broadcasts the
+       resulting transposed ``[gw, gh, 2]`` grid onto ``[B, gh, gw, 2]``
+       tensors — so the ROW index is added to the x offset and the COLUMN
+       index to y.  It only ever runs on square grids, where the shapes
+       happen to line up.
+    2. It recovers one "GT" box from EVERY positive cell; in that
+       transposed frame the <=9 cells of a single GT decode to up to 9
+       DIFFERENT boxes, all of which enter the IoU max.
+    3. Both GT and predicted wh are inflated by the stride
+       (``exp(t) * anchor * scale``; anchors are already in pixels).
+
+    Used only for numeric parity against recorded reference fixtures
+    (``LossConfig(reference_compat=True)``); the default path in
+    ``_ignore_mask`` is axis-correct and capacity-bounded.
+    """
+    b, gh, gw, _ = pred_xy.shape
+    na = anchors.shape[0]
+    sh, sw = stride_hw
+    scale = jnp.asarray([sw, sh], jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+    tcoords = jnp.stack([rows, cols], axis=-1)  # quirk 1: (row, col) -> (x, y)
+
+    gxy = (y_true[..., 0:2] + tcoords) * scale
+    sel = jnp.argmax(y_true[..., 5:5 + na], axis=-1)
+    gwh = jnp.exp(y_true[..., 2:4]) * anchors[sel] * scale  # quirk 3
+    gt_boxes = jnp.concatenate([gxy, gwh], axis=-1).reshape(b, -1, 4)
+    gt_mask = (y_true[..., 4] > 0.5).reshape(b, -1)         # quirk 2
+
+    pxy = (xy_activation(pred_xy) + tcoords) * scale
+    per_anchor = []
+    for a in range(na):  # unrolled: keeps peak IoU memory at [B,N,N]
+        pwh = jnp.exp(pred_wh) * anchors[a] * scale
+        pred_boxes = jnp.concatenate([pxy, pwh], axis=-1).reshape(b, -1, 4)
+        iou = _pairwise_iou_cxcywh(pred_boxes, gt_boxes, gt_mask)
+        per_anchor.append(jnp.max(iou, axis=-1))
+    iou_all = jnp.stack(per_anchor, axis=-1).reshape(b, gh, gw, na)
 
     max_iou = jnp.max(iou_all, axis=-1, keepdims=True)
     ignore = ((max_iou > cfg.ignore_thresh)
@@ -219,7 +269,14 @@ def _consensus_losses(cfg: LossConfig, pred_xy, pred_wh, pred_obj,
 
     cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
     rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
-    grid = jnp.stack([cols, rows], axis=-1)[None]
+    if cfg.reference_compat:
+        # The reference's _build_grid_coordinates has the same transposed
+        # meshgrid quirk as its ignore mask (row index added to x): in that
+        # frame only diagonal neighbors of a GT share a decoded center, so
+        # the consensus groups differ.  Replicated for fixture parity only.
+        grid = jnp.stack([rows, cols], axis=-1)[None]
+    else:
+        grid = jnp.stack([cols, rows], axis=-1)[None]
     true_centers = true_xy + grid
 
     mask_p = _patches(object_mask, k)
@@ -323,7 +380,9 @@ def multigrid_loss(y_pred: Sequence[jnp.ndarray],
         num_pos_total += jnp.sum(object_mask)
         norm = _norm_factor(cfg, batch, gh, gw, object_mask)
 
-        ignore, assigned_iou, max_iou = _ignore_mask(
+        mask_fn = (_reference_compat_ignore_mask if cfg.reference_compat
+                   else _ignore_mask)
+        ignore, assigned_iou, max_iou = mask_fn(
             cfg, pred_xy, pred_wh, true, anc, object_mask, stride_hw)
 
         # -------- localization --------
@@ -391,9 +450,15 @@ def multigrid_loss(y_pred: Sequence[jnp.ndarray],
             totals['consensus_obj'] += co
             totals['consensus_class'] += ccls
 
+    # The reference multiplies anchor_scale both when accumulating and in
+    # the final combine (effectively anchor_scale^2) — almost certainly a
+    # bug; we apply it once.  reference_compat squares it for bit parity
+    # with recorded fixtures (pinned by tests/test_reference_parity.py).
+    anchor_scale = (cfg.anchor_scale ** 2 if cfg.reference_compat
+                    else cfg.anchor_scale)
     total = (cfg.coord_scale * totals['location']
              + cfg.object_scale * totals['objectness']
-             + cfg.anchor_scale * totals['anchor']
+             + anchor_scale * totals['anchor']
              + cfg.class_scale * totals['classification'])
     if cfg.use_consensus_loss:
         total = total + (cfg.consensus_coord_scale * totals['consensus_coord']

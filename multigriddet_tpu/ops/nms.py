@@ -47,7 +47,9 @@ def _greedy_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
     k = overlap.shape[0]
 
     def body(i, keep):
-        sup = (overlap[i] > nms_threshold) & keep[i] & valid[i]
+        # The reference keeps boxes with overlap < threshold (nms.py:110),
+        # i.e. suppresses at >= — inclusive, replicated here.
+        sup = (overlap[i] >= nms_threshold) & keep[i] & valid[i]
         after = jax.lax.broadcasted_iota(jnp.int32, (k,), 0) > i
         return keep & ~(sup & after)
 
@@ -57,30 +59,27 @@ def _greedy_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
 def _soft_nms_sweep(overlap: jnp.ndarray, scores: jnp.ndarray,
                     valid: jnp.ndarray, sigma: float,
                     score_floor: float) -> jnp.ndarray:
-    """Gaussian soft-NMS: iteratively decay scores of overlapping boxes.
+    """Gaussian soft-NMS, replicating reference SoftNMS (nms.py:236-289).
 
-    Mirrors reference SoftNMS (nms.py:243-320): each round the current best
-    box is fixed and every remaining score is multiplied by
-    ``exp(-iou^2 / sigma)``; boxes falling below ``score_floor`` drop out.
-    Returns the final (decayed) scores with suppressed entries at NEG_INF.
+    The reference walks boxes in the ORIGINAL descending-score order (it
+    never re-sorts after decay): at step i, if the i-th box's decayed score
+    fell below ``score_floor`` it is zeroed and skipped; otherwise every
+    lower-ranked box's score is multiplied by ``exp(-iou^2 / sigma)``.
+    Boxes with final score >= ``score_floor`` survive.  Returns the decayed
+    scores with suppressed entries at NEG_INF.
     """
     k = overlap.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
     scores = jnp.where(valid, scores, NEG_INF)
 
-    def body(_, state):
-        s, done = state
-        cur = jnp.argmax(jnp.where(done, NEG_INF, s))
-        cur_ok = s[cur] > score_floor
-        decay = jnp.exp(-(overlap[cur] ** 2) / sigma)
-        s_new = jnp.where(done | (jax.lax.broadcasted_iota(
-            jnp.int32, (k,), 0) == cur), s, s * decay)
-        done = done | (jax.lax.broadcasted_iota(
-            jnp.int32, (k,), 0) == cur) | ~cur_ok
-        return jnp.where(cur_ok, s_new, s), done
+    def body(i, s):
+        cur_ok = s[i] >= score_floor
+        decayed = s * jnp.exp(-(overlap[i] ** 2) / sigma)
+        s = jnp.where(cur_ok & (iota > i) & valid, decayed, s)
+        return jnp.where((iota == i) & ~cur_ok, NEG_INF, s)
 
-    scores, done = jax.lax.fori_loop(
-        0, k, body, (scores, ~valid))
-    return jnp.where(scores > score_floor, scores, NEG_INF)
+    scores = jax.lax.fori_loop(0, k, body, scores)
+    return jnp.where(scores >= score_floor, scores, NEG_INF)
 
 
 def _cluster_nms_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
@@ -99,7 +98,7 @@ def _cluster_nms_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
     def body(state):
         keep_prev, _, it = state
         maxcol = jnp.max(x * keep_prev[:, None].astype(x.dtype), axis=0)
-        keep = (maxcol <= nms_threshold) & valid
+        keep = (maxcol < nms_threshold) & valid  # suppress at >= (ref nms.py)
         return keep, keep_prev, it + 1
 
     def cond(state):
@@ -114,7 +113,7 @@ def _cluster_nms_sweep(overlap: jnp.ndarray, valid: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=('max_boxes', 'pre_nms_top_k', 'nms_method', 'use_iol',
-                     'class_aware', 'soft_sigma', 'backend'))
+                     'class_aware', 'soft_sigma', 'soft_floor', 'backend'))
 def batched_nms(boxes: jnp.ndarray,
                 scores: jnp.ndarray,
                 classes: jnp.ndarray,
@@ -126,6 +125,7 @@ def batched_nms(boxes: jnp.ndarray,
                 use_iol: bool = True,
                 class_aware: bool = False,
                 soft_sigma: float = 0.5,
+                soft_floor: float = 1e-3,
                 backend: str = 'xla'
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Confidence filter + NMS, fixed shapes, batched.
@@ -158,8 +158,10 @@ def batched_nms(boxes: jnp.ndarray,
 
         if nms_method == 'soft':
             overlap = _overlap_matrix(nms_bx, 'standard', use_iol)
+            # score_floor matches reference SoftNMS.score_threshold (1e-3),
+            # independent of the confidence pre-filter above.
             new_sc = _soft_nms_sweep(overlap, top_sc, valid, soft_sigma,
-                                     confidence)
+                                     soft_floor)
             keep_sc = new_sc
         else:
             if nms_method == 'cluster':

@@ -176,31 +176,29 @@ def test_soft_and_cluster_nms_run(rng):
 
 def test_soft_nms_matches_numpy_oracle(rng):
     """Gaussian soft-NMS rescoring parity with a sequential NumPy oracle
-    (reference SoftNMS semantics, nms.py:243-320)."""
+    (reference SoftNMS semantics, nms.py:236-289: boxes are visited in the
+    ORIGINAL descending-score order — never re-sorted after decay — and a
+    visited box whose decayed score fell below the floor is dropped without
+    suppressing others)."""
     from multigriddet_tpu.ops.nms import (_overlap_matrix, _soft_nms_sweep,
                                           NEG_INF)
     import jax.numpy as jnp
     k, sigma, floor = 32, 0.5, 0.1
     boxes = np.concatenate([rng.rand(k, 2) * 100,
                             rng.rand(k, 2) * 60 + 5], -1).astype(np.float32)
-    scores = rng.rand(k).astype(np.float32)
+    scores = np.sort(rng.rand(k).astype(np.float32))[::-1].copy()
     valid = np.ones(k, bool)
 
     overlap = np.asarray(_overlap_matrix(jnp.asarray(boxes), 'standard',
                                          False))
-    # sequential oracle
+    # sequential oracle, reference algorithm verbatim
     s = scores.copy()
-    done = np.zeros(k, bool)
-    out = np.full(k, NEG_INF, np.float32)
-    while True:
-        live = np.where(~done & (s > floor))[0]
-        if not len(live):
-            break
-        cur = live[np.argmax(s[live])]
-        out[cur] = s[cur]
-        done[cur] = True
-        decay = np.exp(-(overlap[cur] ** 2) / sigma)
-        s = np.where(done, s, s * decay)
+    for i in range(k):
+        if s[i] < floor:
+            s[i] = NEG_INF
+            continue
+        s[i + 1:] = s[i + 1:] * np.exp(-(overlap[i, i + 1:] ** 2) / sigma)
+    out = np.where(s >= floor, s, NEG_INF)
     got = np.asarray(_soft_nms_sweep(jnp.asarray(overlap),
                                      jnp.asarray(scores),
                                      jnp.asarray(valid), sigma, floor))

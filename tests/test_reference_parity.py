@@ -1,0 +1,250 @@
+"""Golden-fixture parity against the ACTUAL reference implementation.
+
+Fixtures in ``tests/fixtures/reference/`` were recorded by running the
+reference's own TF/NumPy code (see ``tools/record_reference_fixtures.py``)
+on deterministic inputs:
+
+  * encoder  — reference ``preprocess_true_boxes`` (generators.py:3393-3473)
+    and ``tf_preprocess_true_boxes`` (generators.py:2696-3390)
+  * loss     — reference ``MultiGridLoss.compute_loss``
+    (multigrid_loss.py:233-443), 14 configurations
+  * decoder  — reference ``MultiGridDecoder`` (multigrid_decode.py:17-422)
+  * nms      — reference ``nms_boxes`` (nms.py:389-400)
+  * photometric — ``tf.image.adjust_*`` cores of generators.py:260-344
+
+These tests pin the JAX implementations to those recordings, so they run
+WITHOUT TensorFlow.  Reference bugs discovered while recording (documented
+in docs/PARITY.md):
+
+  * The reference's TF-vectorized encoder DISAGREES with its own NumPy
+    encoder (its occupancy rule is only approximated in TF) — we match the
+    NumPy original bit-for-bit and assert the discrepancy exists.
+  * Reference loss option 3 (GIoU/DIoU/CIoU) and use_softmax_loss CRASH in
+    the reference (shape bugs); ours produce finite values.
+  * Reference NMS ignores its ``use_iol`` and ``confidence`` parameters;
+    parity is checked at use_iol=False / confidence=0, while our
+    implementations honor both knobs as documented extensions.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), 'fixtures', 'reference')
+
+with open(os.path.join(FIX, 'manifest.json')) as f:
+    MANIFEST = json.load(f)
+ANCHORS = [np.asarray(a, np.float32) for a in MANIFEST['anchors']]
+NC = MANIFEST['num_classes']
+HW = tuple(MANIFEST['input_hw'])
+GRIDS = [tuple(g) for g in MANIFEST['grids']]
+
+
+@pytest.fixture(scope='module')
+def encoder_fix():
+    return np.load(os.path.join(FIX, 'encoder.npz'))
+
+
+@pytest.fixture(scope='module')
+def loss_fix():
+    data = np.load(os.path.join(FIX, 'loss.npz'))
+    with open(os.path.join(FIX, 'loss_values.json')) as f:
+        values = json.load(f)
+    return data, values
+
+
+class TestEncoderParity:
+
+    def test_matches_reference_numpy_encoder_exactly(self, encoder_fix):
+        from multigriddet_tpu.ops import encode_targets
+        y = encode_targets(encoder_fix['boxes'], ANCHORS, NC, HW,
+                           grid_shapes=GRIDS)
+        for l in range(3):
+            np.testing.assert_allclose(
+                np.asarray(y[l]), encoder_fix[f'np_l{l}'], atol=1e-6,
+                err_msg=f'layer {l} diverges from reference NumPy encoder')
+
+    def test_reference_tf_twin_is_internally_inconsistent(self, encoder_fix):
+        """The reference ships two encoders that disagree with each other;
+        we pin to the NumPy original (the Sequence-loader path)."""
+        diffs = sum(
+            float(np.abs(encoder_fix[f'tf_l{l}']
+                         - encoder_fix[f'np_l{l}']).max())
+            for l in range(3))
+        assert diffs > 0.5, 'fixtures no longer show the tf/np divergence'
+
+    def test_positive_cell_counts_match_tf_twin(self, encoder_fix):
+        """Same assignment topology even where stored values differ."""
+        from multigriddet_tpu.ops import encode_targets
+        y = encode_targets(encoder_fix['boxes'], ANCHORS, NC, HW,
+                           grid_shapes=GRIDS)
+        for l in range(3):
+            mine = int((np.asarray(y[l])[..., 4] > 0).sum())
+            ref = int((encoder_fix[f'tf_l{l}'][..., 4] > 0).sum())
+            assert mine == ref
+
+
+def _loss_config_from_reference_kwargs(kw):
+    from multigriddet_tpu.losses import LossConfig
+    m = dict(reference_compat=True)
+    passthrough = (
+        'loss_option', 'ignore_thresh', 'coord_scale', 'object_scale',
+        'no_object_scale', 'class_scale', 'anchor_scale', 'label_smoothing',
+        'use_focal_loss', 'use_softmax_loss', 'use_iou_aware_objectness',
+        'iou_objectness_power', 'iou_objectness_ratio',
+        'trainable_nms_weight', 'trainable_nms_power', 'use_consensus_loss',
+        'consensus_kernel_size', 'consensus_iou_power', 'consensus_min_iou',
+        'consensus_coord_scale', 'consensus_obj_scale',
+        'consensus_class_scale', 'consensus_stop_gradient',
+        'consensus_center_tolerance')
+    for k in passthrough:
+        if k in kw:
+            m[k] = kw[k]
+    if 'loss_normalization' in kw:
+        m['loss_normalization'] = tuple(kw['loss_normalization'])
+    for ref_key, ours in (('use_giou_loss', 'giou'), ('use_diou_loss',
+                                                      'diou'),
+                          ('use_ciou_loss', 'ciou')):
+        if kw.get(ref_key):
+            m['iou_loss_type'] = ours
+    return LossConfig(**m)
+
+
+class TestLossParity:
+
+    @pytest.mark.parametrize('name', sorted(MANIFEST['loss_configs']))
+    def test_loss_value(self, name, loss_fix):
+        import jax
+
+        from multigriddet_tpu.losses import multigrid_loss
+        data, values = loss_fix
+        y_pred = [jnp.asarray(data[f'pred_l{l}']) for l in range(3)]
+        y_true = [jnp.asarray(data[f'true_l{l}']) for l in range(3)]
+        kw = dict(MANIFEST['loss_configs'][name])
+        cw = kw.pop('class_weights', None)
+        cw = jnp.asarray(cw, jnp.float32) if cw is not None else None
+        cfg = _loss_config_from_reference_kwargs(kw)
+        total, _ = jax.jit(
+            lambda p, t: multigrid_loss(p, t, ANCHORS, NC, HW, cfg, cw))(
+                y_pred, y_true)
+        mine = float(total)
+        ref = values[name]
+        if isinstance(ref, dict):
+            # Config crashes in the reference as shipped; ours must work.
+            assert np.isfinite(mine), f'{name}: non-finite loss'
+        else:
+            assert abs(mine - ref) / max(abs(ref), 1e-9) < 1e-5, \
+                f'{name}: mine={mine} ref={ref}'
+
+
+class TestDecoderParity:
+
+    @pytest.fixture(scope='class')
+    def decoder_fix(self):
+        return np.load(os.path.join(FIX, 'decoder.npz'))
+
+    @pytest.fixture(scope='class')
+    def y_pred(self, ):
+        data = np.load(os.path.join(FIX, 'loss.npz'))
+        return [data[f'pred_l{l}'] for l in range(3)]
+
+    @pytest.mark.parametrize('use_softmax', [True, False])
+    def test_raw_decode(self, decoder_fix, y_pred, use_softmax):
+        from multigriddet_tpu.ops.decode import decode_predictions
+        mine = np.asarray(decode_predictions(
+            [jnp.asarray(p) for p in y_pred], ANCHORS, HW,
+            rescore_confidence=True, use_softmax=use_softmax))
+        ref = decoder_fix[f'decoded_softmax{int(use_softmax)}']
+        np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+    @pytest.mark.parametrize('img', [0, 1, 2])
+    def test_end_to_end_postprocess(self, decoder_fix, y_pred, img):
+        """Full decode -> letterbox inverse -> DIoU NMS chain on a 480x640
+        source image, per-detection parity (the reference rounds its final
+        boxes to integers, hence the 0.51 px tolerance)."""
+        from multigriddet_tpu.postprocess.decoder import MultiGridDecoder
+        d = MultiGridDecoder(ANCHORS, NC, HW, confidence=0.3,
+                             nms_threshold=0.5, nms_method='diou',
+                             use_iol=True, max_boxes=100)
+        boxes, classes, scores = d.postprocess(
+            [p[img:img + 1] for p in y_pred], image_shape=(480, 640))
+        rb = decoder_fix[f'post_boxes_{img}']
+        rc = decoder_fix[f'post_classes_{img}']
+        rs = decoder_fix[f'post_scores_{img}']
+        assert len(boxes) == len(rb)
+        mo, ro = np.argsort(-scores), np.argsort(-rs)
+        n = min(len(boxes), 30)  # top-30 by score; ties reorder the tail
+        np.testing.assert_allclose(scores[mo[:n]], rs[ro[:n]], atol=1e-3)
+        np.testing.assert_array_equal(classes[mo[:n]], rc[ro[:n]])
+        np.testing.assert_allclose(boxes[mo[:n]], rb[ro[:n]], atol=0.51)
+
+
+class TestNmsParity:
+
+    @pytest.fixture(scope='class')
+    def nms_fix(self):
+        return np.load(os.path.join(FIX, 'nms.npz'))
+
+    # Reference nms_boxes ignores use_iol entirely (its NMS classes never
+    # read it), so both recorded *_iol and plain variants must equal ours
+    # at use_iol=False.  confidence is likewise unused by the reference's
+    # NMS stage (filtering happens earlier in its pipeline).
+    @pytest.mark.parametrize('name,method', [
+        ('std_iol', 'standard'), ('std_iou', 'standard'),
+        ('diou', 'diou'), ('diou_iol', 'diou'), ('soft', 'soft')])
+    def test_keep_set(self, nms_fix, name, method):
+        from multigriddet_tpu.ops.nms import batched_nms
+        b, c, s, v = batched_nms(
+            jnp.asarray(nms_fix['in_boxes'])[None],
+            jnp.asarray(nms_fix['in_scores'])[None],
+            jnp.asarray(nms_fix['in_classes'])[None],
+            confidence=0.0, nms_threshold=0.5, max_boxes=100,
+            nms_method=method, use_iol=False)
+        keep = np.asarray(v[0])
+        mb = np.asarray(b[0])[keep]
+        mc = np.asarray(c[0])[keep]
+        ms = np.asarray(s[0])[keep]
+        rb, rc, rs = (nms_fix[f'{name}_boxes'], nms_fix[f'{name}_classes'],
+                      nms_fix[f'{name}_scores'])
+        assert len(mb) == len(rb)
+        mo, ro = np.argsort(-ms), np.argsort(-rs)
+        np.testing.assert_allclose(mb[mo], rb[ro], atol=1e-3)
+        np.testing.assert_array_equal(mc[mo], rc[ro])
+        np.testing.assert_allclose(ms[mo], rs[ro], atol=1e-4)
+
+    def test_reference_use_iol_is_dead(self, nms_fix):
+        """Documents that the reference's use_iol flag changes nothing."""
+        np.testing.assert_array_equal(nms_fix['std_iol_boxes'],
+                                      nms_fix['std_iou_boxes'])
+        np.testing.assert_array_equal(nms_fix['diou_iol_boxes'],
+                                      nms_fix['diou_boxes'])
+
+
+class TestPhotometricParity:
+
+    @pytest.fixture(scope='class')
+    def photo_fix(self):
+        return np.load(os.path.join(FIX, 'photometric.npz'))
+
+    def test_all_adjust_ops(self, photo_fix):
+        from multigriddet_tpu.data.augment import (adjust_brightness,
+                                                   adjust_contrast,
+                                                   adjust_hue,
+                                                   adjust_saturation,
+                                                   to_grayscale)
+        img = jnp.asarray(photo_fix['image'])
+        cases = ([(f'brightness_{d}', adjust_brightness(img, d))
+                  for d in (-0.2, 0.15)]
+                 + [(f'contrast_{c}', adjust_contrast(img, c))
+                    for c in (0.8, 1.3)]
+                 + [(f'saturation_{s}', adjust_saturation(img, s))
+                    for s in (0.7, 1.4)]
+                 + [(f'hue_{h}', adjust_hue(img, h)) for h in (-0.1, 0.08)]
+                 + [('grayscale', to_grayscale(img))])
+        for name, mine in cases:
+            np.testing.assert_allclose(
+                np.asarray(mine), photo_fix[name], atol=0.01,
+                err_msg=f'{name} diverges from tf.image (0-255 scale)')
