@@ -88,6 +88,18 @@ def loss_config_from_config(config: Dict[str, Any]) -> LossConfig:
     (reference model_builder.py:126-151)."""
     training = config.get('training', {}) or {}
     loss = training.get('loss', {}) or {}
+    # ignore-mask GT capacity: defaults to the pipeline's post-expansion box
+    # capacity (max_boxes_per_image x mosaic/mixup factor) so crowded batches
+    # never silently weaken the ignore mask (the reference handles all GTs
+    # dynamically, multigrid_loss.py:574-652)
+    aug = training.get('augmentation', {}) or {}
+    max_gt = loss.get('max_gt_boxes')
+    if max_gt is None:
+        from ..data.pipeline import calculate_expansion_factor
+        factor = calculate_expansion_factor(
+            float(aug.get('mosaic_prob', 0.0) or 0.0),
+            float(aug.get('mixup_prob', 0.0) or 0.0))
+        max_gt = int(aug.get('max_boxes_per_image', 100)) * factor
     norm = training.get('loss_normalization', ['batch'])
     if isinstance(norm, str):
         norm = [norm]
@@ -126,6 +138,7 @@ def loss_config_from_config(config: Dict[str, Any]) -> LossConfig:
         consensus_center_tolerance=float(
             loss.get('consensus_center_tolerance', 1e-4)),
         loss_normalization=tuple(norm),
+        max_gt_boxes=int(max_gt),
     )
 
 
@@ -186,24 +199,44 @@ def make_lr_schedule(config: Dict[str, Any], steps_per_epoch: int,
     return optax.constant_schedule(base_lr)
 
 
-def create_optimizer_from_config(config: Dict[str, Any],
-                                 learning_rate=None) -> optax.GradientTransformation:
-    """Adam / AdamW / SGD factory (reference model_builder.py:22-99)."""
-    opt_cfg = config.get('optimizer', {}) or {}
-    kind = (opt_cfg.get('type') or 'adam').lower()
-    lr = learning_rate if learning_rate is not None else \
-        resolve_learning_rate(config)
+def _make_optimizer(kind: str, learning_rate, opt_cfg: Dict[str, Any]
+                    ) -> optax.GradientTransformation:
     if kind == 'adam':
-        return optax.adam(lr, b1=float(opt_cfg.get('beta_1', 0.9)),
+        return optax.adam(learning_rate,
+                          b1=float(opt_cfg.get('beta_1', 0.9)),
                           b2=float(opt_cfg.get('beta_2', 0.999)),
                           eps=float(opt_cfg.get('epsilon', 1e-7)))
     if kind == 'adamw':
-        return optax.adamw(lr, b1=float(opt_cfg.get('beta_1', 0.9)),
+        return optax.adamw(learning_rate,
+                           b1=float(opt_cfg.get('beta_1', 0.9)),
                            b2=float(opt_cfg.get('beta_2', 0.999)),
                            eps=float(opt_cfg.get('epsilon', 1e-7)),
                            weight_decay=float(
                                opt_cfg.get('weight_decay', 5e-4)))
     if kind == 'sgd':
-        return optax.sgd(lr, momentum=float(opt_cfg.get('momentum', 0.9)),
+        return optax.sgd(learning_rate,
+                         momentum=float(opt_cfg.get('momentum', 0.9)),
                          nesterov=bool(opt_cfg.get('nesterov', True)))
     raise ValueError(f'unknown optimizer type {kind!r}')
+
+
+def create_optimizer_from_config(config: Dict[str, Any],
+                                 learning_rate=None, inject_lr: bool = False
+                                 ) -> optax.GradientTransformation:
+    """Adam / AdamW / SGD factory (reference model_builder.py:22-99).
+
+    ``inject_lr=True`` wraps the optimizer in ``optax.inject_hyperparams`` so
+    the learning rate lives in the optimizer state and can be changed
+    mid-training (reduce-on-plateau) WITHOUT rebuilding the optimizer — the
+    Keras ReduceLROnPlateau semantics of preserving Adam moments
+    (reference trainers/trainer.py:398-409).
+    """
+    opt_cfg = config.get('optimizer', {}) or {}
+    kind = (opt_cfg.get('type') or 'adam').lower()
+    lr = learning_rate if learning_rate is not None else \
+        resolve_learning_rate(config)
+    if inject_lr:
+        return optax.inject_hyperparams(
+            lambda learning_rate: _make_optimizer(kind, learning_rate,
+                                                  opt_cfg))(learning_rate=lr)
+    return _make_optimizer(kind, lr, opt_cfg)

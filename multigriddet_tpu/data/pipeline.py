@@ -210,16 +210,20 @@ class MultiGridDataGenerator:
         order = np.arange(len(self.lines))
         if self.train:
             self.rng.shuffle(order)
-        steps = len(order) // self.batch_size
+        steps = len(self)  # honors drop_remainder, so len() == yielded steps
         q: 'queue.Queue' = queue.Queue(maxsize=2)
 
         def producer():
             try:
                 for step in range(steps):
                     start = step * self.batch_size
-                    batch_lines = [
-                        self.lines[i]
-                        for i in order[start:start + self.batch_size]]
+                    idx = order[start:start + self.batch_size]
+                    if len(idx) < self.batch_size:
+                        # pad the final partial batch by wrapping so the
+                        # compiled device-stage shape is reused (no ragged
+                        # shapes under jit); extra samples are duplicates
+                        idx = np.resize(idx, self.batch_size)
+                    batch_lines = [self.lines[i] for i in idx]
                     hw = self._pick_shape(step)
                     q.put((self.loader.load_batch(batch_lines, hw), hw))
             finally:

@@ -26,7 +26,7 @@ from PIL import Image
 from ..config import build_model_from_config
 from ..data.annotations import (load_annotation_lines,
                                 parse_annotation_line)
-from ..ops.geometry import undo_letterbox_boxes
+from ..ops.geometry import canvas_boxes_to_image
 from ..training.checkpoint import load_params
 from ..training.steps import make_infer_step
 from ..utils.visualization import draw_boxes, get_colors
@@ -158,13 +158,8 @@ class MultiGridEvaluator:
                 keep = valid[bi]
                 b, c, s = bxs[bi][keep], cls[bi][keep], scs[bi][keep]
                 if len(b):
-                    hw = np.asarray(self.input_hw, np.float32)
-                    cxcywh = np.stack([
-                        (b[:, 0] + b[:, 2] / 2) / hw[1],
-                        (b[:, 1] + b[:, 3] / 2) / hw[0],
-                        b[:, 2] / hw[1], b[:, 3] / hw[0]], axis=-1)
-                    b = np.asarray(undo_letterbox_boxes(
-                        jnp.asarray(cxcywh), (ih, iw), self.input_hw))
+                    b = np.asarray(canvas_boxes_to_image(
+                        b, (ih, iw), self.input_hw))
                 predictions[img_id] = {
                     'boxes': b.astype(np.float32),
                     'classes': c.astype(np.int32),

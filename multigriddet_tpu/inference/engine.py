@@ -21,7 +21,7 @@ from PIL import Image
 
 from ..config import build_model_from_config
 from ..data.annotations import letterbox_image
-from ..ops.geometry import undo_letterbox_boxes
+from ..ops.geometry import canvas_boxes_to_image
 from ..training.checkpoint import load_params
 from ..training.steps import make_infer_step
 from ..utils.visualization import draw_boxes, get_colors
@@ -84,15 +84,10 @@ class MultiGridInference:
         keep = valid
         bxs, cls, scs = bxs[keep], cls[keep], scs[keep]
         if len(bxs):
-            # canvas-pixels -> normalized cxcywh -> original image pixels
-            hw = np.asarray(self.input_hw, np.float32)
-            cxcywh = np.stack([
-                (bxs[:, 0] + bxs[:, 2] / 2) / hw[1],
-                (bxs[:, 1] + bxs[:, 3] / 2) / hw[0],
-                bxs[:, 2] / hw[1], bxs[:, 3] / hw[0]], axis=-1)
+            # canvas-pixels -> original image pixels, clipped to bounds
             ih, iw = image.size[1], image.size[0]
-            bxs = np.asarray(undo_letterbox_boxes(
-                jnp.asarray(cxcywh), (ih, iw), self.input_hw))
+            bxs = np.asarray(canvas_boxes_to_image(
+                bxs, (ih, iw), self.input_hw))
         return bxs, cls, scs
 
     def detect_batch(self, images: List[Image.Image], batch_size: int = 16):
@@ -120,13 +115,8 @@ class MultiGridInference:
                 keep = valid[i]
                 b, c, s = bxs[i][keep], cls[i][keep], scs[i][keep]
                 if len(b):
-                    hw = np.asarray(self.input_hw, np.float32)
-                    cxcywh = np.stack([
-                        (b[:, 0] + b[:, 2] / 2) / hw[1],
-                        (b[:, 1] + b[:, 3] / 2) / hw[0],
-                        b[:, 2] / hw[1], b[:, 3] / hw[0]], axis=-1)
-                    b = np.asarray(undo_letterbox_boxes(
-                        jnp.asarray(cxcywh), (ih, iw), self.input_hw))
+                    b = np.asarray(canvas_boxes_to_image(
+                        b, (ih, iw), self.input_hw))
                 results.append((b, c, s))
         return results
 

@@ -3,7 +3,8 @@ from .decode import (decode_predictions, decode_scale,
 from .encoding import (encode_targets, encode_targets_np,
                        extract_center_gt_boxes, flatten_anchors,
                        match_anchors)
-from .geometry import (cxcywh_to_xyxy, iol_wh, iou_wh,
+from .geometry import (canvas_boxes_to_image, clip_boxes_xywh,
+                       cxcywh_to_xyxy, iol_wh, iou_wh,
                        pairwise_diou_xywh_topleft, pairwise_iou_cxcywh,
                        pairwise_iou_xywh_topleft, undo_letterbox_boxes,
                        xyxy_to_cxcywh)
@@ -14,6 +15,7 @@ __all__ = [
     'xy_activation',
     'encode_targets', 'encode_targets_np', 'extract_center_gt_boxes',
     'flatten_anchors', 'match_anchors',
+    'canvas_boxes_to_image', 'clip_boxes_xywh',
     'cxcywh_to_xyxy', 'iol_wh', 'iou_wh', 'pairwise_diou_xywh_topleft',
     'pairwise_iou_cxcywh', 'pairwise_iou_xywh_topleft',
     'undo_letterbox_boxes', 'xyxy_to_cxcywh', 'batched_nms',

@@ -190,3 +190,39 @@ def undo_letterbox_boxes(boxes_cxcywh_norm: jnp.ndarray, image_hw, model_hw):
     box_xy = box_xy - box_wh / 2.0   # top-left corner
     image_wh = image_hw[::-1]
     return jnp.concatenate([box_xy * image_wh, box_wh * image_wh], axis=-1)
+
+
+def clip_boxes_xywh(boxes_xywh: jnp.ndarray, image_hw) -> jnp.ndarray:
+    """Clip top-left ``(x, y, w, h)`` boxes to the image rectangle.
+
+    Matches the reference decoder's final clamp to ``[0, w] x [0, h]``
+    (postprocess/multigrid_decode.py:397-422): both corners are clipped and
+    width/height recomputed, so boxes straddling an edge shrink instead of
+    sliding inward.
+    """
+    image_hw = jnp.asarray(image_hw, jnp.float32)
+    x1 = jnp.clip(boxes_xywh[..., 0], 0.0, image_hw[1])
+    y1 = jnp.clip(boxes_xywh[..., 1], 0.0, image_hw[0])
+    x2 = jnp.clip(boxes_xywh[..., 0] + boxes_xywh[..., 2], 0.0, image_hw[1])
+    y2 = jnp.clip(boxes_xywh[..., 1] + boxes_xywh[..., 3], 0.0, image_hw[0])
+    return jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+
+
+def canvas_boxes_to_image(boxes_xywh: jnp.ndarray, image_hw, model_hw,
+                          clip: bool = True) -> jnp.ndarray:
+    """Top-left xywh boxes in letterbox-canvas pixels -> original image pixels.
+
+    Combines the normalized-cxcywh conversion, the letterbox inverse
+    (``undo_letterbox_boxes``), and the reference's final bounds clip
+    (postprocess/multigrid_decode.py:185-235, 397-422) into the one transform
+    the inference/evaluation paths need after fused on-device NMS.
+    """
+    boxes = jnp.asarray(boxes_xywh, jnp.float32)
+    model_wh = jnp.asarray(model_hw, jnp.float32)[::-1]
+    cxcy = (boxes[..., 0:2] + boxes[..., 2:4] / 2.0) / model_wh
+    wh = boxes[..., 2:4] / model_wh
+    out = undo_letterbox_boxes(jnp.concatenate([cxcy, wh], axis=-1),
+                               image_hw, model_hw)
+    if clip:
+        out = clip_boxes_xywh(out, image_hw)
+    return out

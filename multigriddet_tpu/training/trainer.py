@@ -143,7 +143,11 @@ class MultiGridTrainer:
         if sched_cfg.get('type') == 'reduce_on_plateau':
             base_lr = lr_override or resolve_learning_rate(self.config)
             self._plateau_lr = base_lr
-            opt = create_optimizer_from_config(self.config, base_lr)
+            # inject_lr puts the LR in the optimizer state so plateau
+            # reductions mutate it in place, preserving adam moments
+            # (Keras ReduceLROnPlateau semantics, ref trainer.py:398-409)
+            opt = create_optimizer_from_config(self.config, base_lr,
+                                               inject_lr=True)
         else:
             opt = create_optimizer_from_config(self.config, schedule)
         accum = int(self.training_cfg.get('gradient_accumulation', 1) or 1)
@@ -267,7 +271,8 @@ class MultiGridTrainer:
 
         # optional resume of full state from latest checkpoint
         resume = self.config.get('resume', {}) or {}
-        restore_state = bool(resume.get('enabled')) and ckpt.latest_step()
+        restore_state = (bool(resume.get('enabled'))
+                         and ckpt.latest_step() is not None)
 
         for stage_idx, (fl, until_epoch) in enumerate(stages):
             if epoch >= until_epoch:
@@ -277,6 +282,11 @@ class MultiGridTrainer:
                 fl, until_epoch - epoch, params, batch_stats, lr_override)
             if restore_state:
                 state = ckpt.restore(state)
+                # orbax restores onto the default device; replicate over the
+                # mesh so the sharded train step accepts it
+                state = jax.device_put(
+                    state, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
                 epoch = max(epoch, int(state.step) // max(
                     len(self.train_gen), 1))
                 restore_state = False
@@ -323,12 +333,14 @@ class MultiGridTrainer:
                             float(sched_cfg.get('min_lr', 1e-7)))
                         print(f'Reducing LR to {self._plateau_lr:.2e}')
                         plateau_count = 0
-                        params = state.params
-                        batch_stats = state.batch_stats
-                        state, train_step, eval_step, schedule = \
-                            self._make_stage(fl, until_epoch - epoch,
-                                             params, batch_stats,
-                                             self._plateau_lr)
+                        # mutate the injected LR inside the optimizer state;
+                        # adam moments survive the reduction (the reference's
+                        # ReduceLROnPlateau never resets optimizer state)
+                        state = state.replace(
+                            opt_state=optax.tree_utils.tree_set(
+                                state.opt_state,
+                                learning_rate=jnp.asarray(
+                                    self._plateau_lr, jnp.float32)))
                 if es_patience and patience_count >= es_patience:
                     print(f'Early stopping at epoch {epoch} '
                           f'(no improvement for {es_patience} epochs)')

