@@ -67,9 +67,14 @@ def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
     if spec['mode'] == 'custom' and spec['custom']:
         from ..models import build_custom
         custom = spec['custom']
+        neck_cfg = dict(custom.get('neck', {}) or {})
+        neck_type = neck_cfg.pop('type', None)
+        if 'channels' in neck_cfg:
+            neck_cfg['channels'] = tuple(neck_cfg['channels'])
         model = build_custom(
             (custom.get('backbone', {}) or {}).get('type', 'darknet53'),
             (custom.get('head', {}) or {}).get('type', 'multigrid'),
+            neck_name=neck_type, neck_kwargs=neck_cfg,
             num_anchors=num_anchors, num_classes=spec['num_classes'],
             dtype=dtype, bn_axis_name=bn_axis_name)
     else:

@@ -77,14 +77,26 @@ def load_config(path: str,
     """Load a YAML config; follow + merge its ``model_config`` reference."""
     with open(path) as f:
         config = yaml.safe_load(f) or {}
+    raw_model_cfg = config.get('model_config')
     base_dir = os.path.dirname(os.path.abspath(path))
     config = resolve_paths(config, base_dir)
 
     model_cfg_path = config.get('model_config')
     if model_cfg_path:
-        if not os.path.isabs(model_cfg_path):
-            model_cfg_path = os.path.join(base_dir, model_cfg_path)
-        if os.path.exists(model_cfg_path):
+        # the reference convention writes model_config repo-root-relative
+        # ("configs/models/x.yaml") even inside configs/, so try the
+        # config-dir-resolved path first, then cwd, then the config dir's
+        # parent (the repo root for configs/*.yaml)
+        candidates = [model_cfg_path if os.path.isabs(model_cfg_path)
+                      else os.path.join(base_dir, model_cfg_path)]
+        if raw_model_cfg and not os.path.isabs(raw_model_cfg):
+            candidates.append(os.path.normpath(
+                os.path.join(os.getcwd(), raw_model_cfg)))
+            candidates.append(os.path.normpath(
+                os.path.join(base_dir, os.pardir, raw_model_cfg)))
+        model_cfg_path = next(
+            (c for c in candidates if os.path.exists(c)), None)
+        if model_cfg_path:
             with open(model_cfg_path) as f:
                 model_cfg = yaml.safe_load(f) or {}
             model_cfg = resolve_paths(

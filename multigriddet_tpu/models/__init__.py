@@ -7,13 +7,15 @@ from .detector import (MultiGridDet, build_custom, multigriddet_csp_darknet,
                        multigriddet_darknet_spp, multigriddet_resnet)
 from .head import MultiGridHead, MultiGridLiteHead
 from .layers import ConvBN, PredictConv, SeparableConvBN, mish, spp, upsample2x
+from .neck import MultiGridFPN
 from .registry import (create_model, get_backbone, get_head, get_neck,
                        list_components, register_backbone, register_head,
                        register_model, register_neck)
 from .resnet import ResNet, ResNet50, ResNet101
 
 __all__ = [
-    'CSPDarknet53', 'Darknet53', 'MultiGridDet', 'MultiGridHead',
+    'CSPDarknet53', 'Darknet53', 'MultiGridDet', 'MultiGridFPN',
+    'MultiGridHead',
     'MultiGridLiteHead', 'ResNet', 'ResNet50', 'ResNet101', 'ConvBN',
     'PredictConv', 'SeparableConvBN', 'mish', 'spp', 'upsample2x',
     'build_custom', 'create_model', 'get_backbone', 'get_head', 'get_neck',

@@ -25,14 +25,23 @@ from .resnet import ResNet50
 
 
 class MultiGridDet(nn.Module):
-    """backbone -> (C3, C4, C5) -> MultiGrid head -> (y1, y2, y3)."""
+    """backbone -> (C3, C4, C5) [-> neck] -> MultiGrid head -> (y1, y2, y3).
+
+    ``neck`` is the composable-path slot (reference
+    multigriddet_resnet.py:19-182): presets leave it None (the head carries
+    the implicit FPN); ``build_custom`` may insert a registered neck that
+    pre-fuses the taps.
+    """
 
     backbone: nn.Module
     head: nn.Module
+    neck: nn.Module | None = None
 
     def __call__(self, images: jnp.ndarray, train: bool = False):
         # positional `train` so nn.remat's static_argnums can mark it
         taps = self.backbone(images, train)
+        if self.neck is not None:
+            taps = self.neck(taps, train)
         return self.head(taps, train=train)
 
 
@@ -138,14 +147,32 @@ def multigriddet_tiny(**kwargs) -> MultiGridDet:
 
 
 def build_custom(backbone_name: str, head_name: str = 'multigrid',
-                 num_anchors=(3, 3, 3), num_classes=80, dtype=jnp.float32,
-                 bn_axis_name=None, **head_kwargs) -> MultiGridDet:
-    """Compose a detector from registered components (custom config mode)."""
+                 neck_name: str | None = None, num_anchors=(3, 3, 3),
+                 num_classes=80, dtype=jnp.float32, bn_axis_name=None,
+                 neck_kwargs=None, **head_kwargs) -> MultiGridDet:
+    """Compose a detector from registered components (custom config mode).
+
+    Mirrors the reference's registry composition (registry.py:266-305 +
+    multigriddet_resnet.py:19-182): an optional registered neck pre-fuses
+    the backbone taps before the head; the head's working widths are then
+    derived from the neck's output channels instead of the backbone's.
+    """
+    from .registry import get_neck
     backbone_cls = get_backbone(backbone_name)
     head_cls = get_head(head_name)
     backbone = backbone_cls(dtype=dtype, bn_axis_name=bn_axis_name)
+    neck = None
+    channels = _head_channels(backbone)
+    if neck_name and neck_name != 'none':
+        neck_cls = get_neck(neck_name)
+        neck = neck_cls(dtype=dtype, bn_axis_name=bn_axis_name,
+                        **(neck_kwargs or {}))
+        fine, mid, coarse = neck.out_channels
+        if coarse < 0:    # pass-through slot: backbone's C5 width
+            coarse = backbone.out_channels[2]
+        channels = (coarse // 2, mid // 2, fine // 2)
     head = head_cls(
         num_anchors=tuple(num_anchors), num_classes=num_classes,
-        channels=_head_channels(backbone), dtype=dtype,
+        channels=channels, dtype=dtype,
         bn_axis_name=bn_axis_name, **head_kwargs)
-    return MultiGridDet(backbone=backbone, head=head)
+    return MultiGridDet(backbone=backbone, neck=neck, head=head)

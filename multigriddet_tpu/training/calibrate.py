@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 
 def calibrate_batch_stats(model, params, batch_stats, batches: Iterable,
-                          max_batches: int = 32):
+                          max_batches: int = 32,
+                          bn_momentum: float | None = None):
     """Recompute BN running statistics over ``batches`` of images.
 
     Args:
@@ -26,21 +27,35 @@ def calibrate_batch_stats(model, params, batch_stats, batches: Iterable,
       batches: iterable of image arrays ``[B, H, W, 3]`` float in [0,1]
         (or pipeline tuples whose first element is the image batch).
       max_batches: cap on the number of batches swept.
+      bn_momentum: the momentum the model's BN layers were built with.
+        When given, the momentum EMA is inverted exactly —
+        ``batch = (mutated - m*old) / (1-m)`` — so each sweep batch
+        contributes its true moments regardless of momentum.
 
     Returns:
       new batch_stats pytree (plain means/variances averaged over batches).
     """
 
-    # NOTE: `model` should be built with ``bn_momentum=0.0`` (the factories
-    # expose the knob) so the mutated stats are exactly each batch's
-    # moments; with a non-zero momentum this still improves stats but
-    # converges more slowly.
     @jax.jit
     def stats_of(params, images):
         _, mut = model.apply(
             {'params': params, 'batch_stats': batch_stats}, images,
             train=True, mutable=['batch_stats'])
-        return mut['batch_stats']
+        new = mut['batch_stats']
+        if bn_momentum:
+            m = bn_momentum
+            new = jax.tree_util.tree_map(
+                lambda s_new, s_old: (s_new - m * s_old) / (1.0 - m),
+                new, batch_stats)
+            # the 1/(1-m) inversion amplifies float error; zero-variance
+            # channels (dead ReLUs) can land slightly negative -> NaN in
+            # eval-mode rsqrt.  Clamp the variance leaves.
+            import flax
+            flat = flax.traverse_util.flatten_dict(new)
+            flat = {k: (jnp.maximum(v, 0.0) if k[-1] == 'var' else v)
+                    for k, v in flat.items()}
+            new = flax.traverse_util.unflatten_dict(flat)
+        return new
 
     acc = None
     n = 0

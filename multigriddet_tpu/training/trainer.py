@@ -352,6 +352,23 @@ class MultiGridTrainer:
             if es_patience and patience_count >= es_patience:
                 break
 
+        if self.training_cfg.get('bn_recalibrate', False):
+            # BN running stats lag the weights on short/frozen schedules;
+            # recompute them over a sweep of training batches before saving
+            # (training.bn_recalibrate / bn_recalibrate_batches)
+            from .calibrate import calibrate_batch_stats
+            bn_mom = float(
+                (self.config.get('model', {}) or {}).get(
+                    'preset', {}).get(
+                    'bn_momentum', self.training_cfg.get('bn_momentum',
+                                                         0.99)))
+            n_cal = int(self.training_cfg.get('bn_recalibrate_batches', 32))
+            batch_stats = calibrate_batch_stats(
+                self.model, params, batch_stats,
+                (img for img, _, _ in self.train_gen),
+                max_batches=n_cal, bn_momentum=bn_mom)
+            print(f'Recalibrated BN statistics over {n_cal} batches')
+
         final_path = os.path.join(model_dir, 'final_model.msgpack')
         save_params(final_path, {'params': params,
                                  'batch_stats': batch_stats})

@@ -54,3 +54,24 @@ def test_eval_overrides():
     assert cfg['evaluation']['confidence_threshold'] == 0.2
     assert cfg['evaluation']['max_images'] == 50
     assert cfg['weights_path'] == 'w.msgpack'
+
+
+def test_all_config_examples_load():
+    """Every shipped .example/.recommended config parses, merges its model
+    preset, and validates (the reference ships the same variant surface:
+    eval fast/full/test/test_viz, train recommended/test)."""
+    import glob
+    import os
+    from multigriddet_tpu.config import load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, 'configs', '*.example'))
+                   + glob.glob(os.path.join(repo, 'configs',
+                                            '*.recommended')))
+    assert len(paths) >= 8
+    for p in paths:
+        name = os.path.basename(p)
+        kind = ('train' if name.startswith('train')
+                else 'eval' if name.startswith('eval') else 'infer')
+        cfg = load_config(p, config_type=kind)
+        assert cfg['model']['preset']['architecture']

@@ -64,6 +64,8 @@ def _write_config(root, ann, classes, anchors, out_dir):
             'freeze_level': 1,
             'learning_rate': 1e-3,
             'loss_option': 2,
+            'bn_recalibrate': True,
+            'bn_recalibrate_batches': 2,
             'augmentation': {
                 'enabled': True, 'mosaic_prob': 0.3, 'mixup_prob': 0.1,
                 'max_boxes_per_image': 10,
