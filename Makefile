@@ -1,7 +1,11 @@
-.PHONY: test bench native validate dryrun clean
+.PHONY: test test-quick bench native validate dryrun clean
 
 test:
 	python -m pytest tests/ -q
+
+# quick tier: skips the heavy compile / TF-dependent suites (~5 min)
+test-quick:
+	python -m pytest tests/ -q -m "not slow"
 
 bench:
 	python bench.py

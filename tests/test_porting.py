@@ -18,6 +18,8 @@ from multigriddet_tpu.models.porting import port_keras_weights
 
 tf = pytest.importorskip('tensorflow')
 
+pytestmark = pytest.mark.slow
+
 
 class MiniFlax(nn.Module):
     @nn.compact

@@ -13,6 +13,8 @@ import pytest
 import yaml
 from PIL import Image, ImageDraw
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def dataset(tmp_path_factory):
