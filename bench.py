@@ -63,11 +63,27 @@ def main():
     _ = sum(float(o) for o in outs)
     dt = time.time() - t0
     ips = batch * iters / dt
+
+    # MFU: XLA-reported FLOPs of the compiled program / v5e peak (197
+    # TFLOP/s bf16) — so perf regressions are visible as a hardware
+    # fraction, not just img/s
+    mfu = None
+    try:
+        cost = (jax.jit(infer).lower(variables, inputs[0])
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get('flops', 0.0))
+        if flops > 0:
+            mfu = round(flops * iters / dt / 197e12, 4)
+    except Exception:
+        pass
     print(json.dumps({
         'metric': 'inference_images_per_sec_416',
         'value': round(ips, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(ips / BASELINE_FPS, 2),
+        'mfu_v5e_bf16': mfu,
     }))
 
 
