@@ -76,7 +76,9 @@ class MultiGridEvaluator:
             self.model, self.spec['anchors'], self.input_hw,
             confidence=self.confidence, nms_threshold=self.nms_threshold,
             nms_method=self.nms_method, use_iol=self.use_iol,
-            max_boxes=100)
+            max_boxes=100,
+            nms_backend=ev.get('nms_backend', 'xla'),
+            pre_nms_top_k=int(ev.get('pre_nms_top_k', 1024)))
 
     def _load_annotations(self, path: str):
         lines = load_annotation_lines(path, shuffle=False)

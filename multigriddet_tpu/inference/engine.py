@@ -40,6 +40,12 @@ class MultiGridInference:
         self.use_iol = bool(det.get('use_iol', True))
         self.max_boxes = int(det.get('max_boxes', 100))
         self.class_aware = bool(det.get('class_aware_nms', False))
+        self.nms_backend = det.get('nms_backend', 'xla')  # xla | pallas
+        # NMS candidate pool after the confidence filter; the reference
+        # considers every above-confidence box (multigrid_decode.py:262-302)
+        # — raise this toward the total prediction count for exact-tail
+        # parity at low confidence thresholds.
+        self.pre_nms_top_k = int(det.get('pre_nms_top_k', 1024))
         self._load_model()
 
     def _load_model(self):
@@ -66,7 +72,8 @@ class MultiGridInference:
             self.model, self.spec['anchors'], self.input_hw,
             confidence=self.confidence, nms_threshold=self.nms_threshold,
             nms_method=self.nms_method, use_iol=self.use_iol,
-            max_boxes=self.max_boxes, class_aware=self.class_aware)
+            max_boxes=self.max_boxes, class_aware=self.class_aware,
+            nms_backend=self.nms_backend, pre_nms_top_k=self.pre_nms_top_k)
 
     # ------------------------------------------------------------------
 

@@ -107,6 +107,7 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
                     max_boxes: int = 100,
                     pre_nms_top_k: int = 1024,
                     class_aware: bool = False,
+                    nms_backend: str = 'xla',
                     mesh: Optional[Mesh] = None) -> Callable:
     """Fused forward + decode + NMS, entirely on device.
 
@@ -136,6 +137,6 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
         return batched_nms(tl, scores, classes, confidence, nms_threshold,
                            max_boxes=max_boxes, pre_nms_top_k=pre_nms_top_k,
                            nms_method=nms_method, use_iol=use_iol,
-                           class_aware=class_aware)
+                           class_aware=class_aware, backend=nms_backend)
 
     return jax.jit(step)
