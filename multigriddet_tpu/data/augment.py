@@ -523,6 +523,79 @@ def random_mixup(key, images, boxes, prob=0.1, alpha_range=(0.2, 0.8)):
     return out_img, out_box
 
 
+def random_copypaste(key, images, boxes, prob=0.15, max_paste=4):
+    """On-device box-level copy-paste augmentation (SIGtor stand-in).
+
+    The reference's original training used SIGtor, an external OFFLINE
+    copy-paste tool that composites object crops into images before
+    training (reference README.md:186-190).  This is the on-device,
+    batched stand-in: with probability ``prob`` per image, up to
+    ``max_paste`` ground-truth crops from the batch neighbor (i+1 mod B)
+    are pasted at uniform random positions that keep the crop fully
+    inside the canvas; the pasted boxes are appended in the LAST
+    ``max_paste`` capacity slots (the caller must pre-pad capacity by
+    ``max_paste`` — the pipeline does).  Existing GT whose centers get
+    covered by a paste are zeroed out, mirroring mosaic's survival
+    discipline.  Crops keep their source size (no rescale), like SIGtor's
+    default paste mode.
+    """
+    b, h, w, _ = images.shape
+    n = boxes.shape[1]
+    donor_img = jnp.roll(images, -1, 0)
+    donor_box = jnp.roll(boxes, -1, 0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    apply = jax.random.uniform(k1, (b,)) < prob
+    # prefer valid donor boxes: noise + validity bonus, then top-k
+    pri = (jax.random.uniform(k2, (b, n))
+           + _valid(donor_box).astype(jnp.float32) * 2.0)
+    _, sel = jax.lax.top_k(pri, max_paste)                 # [B, P]
+    txy_u = jax.random.uniform(k3, (b, max_paste, 2))
+
+    def one(img, bx, dimg, dbx, idx, u, ap):
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        out = img
+        paste_rows = []
+        rects = []
+        for p in range(max_paste):
+            db = dbx[idx[p]]
+            bw = db[2] - db[0]
+            bh = db[3] - db[1]
+            ok = ap & (bw >= MIN_BOX_PX) & (bh >= MIN_BOX_PX)
+            tx = u[p, 0] * jnp.maximum(w - bw, 0.0)
+            ty = u[p, 1] * jnp.maximum(h - bh, 0.0)
+            m = ((xs >= tx) & (xs < tx + bw)
+                 & (ys >= ty) & (ys < ty + bh) & ok)[..., None]
+            # whole-donor translate (gather-free, like mosaic's quadrant
+            # compositing) so the crop's top-left lands at (tx, ty); the
+            # rect mask then selects just the crop
+            shifted = jax.image.scale_and_translate(
+                dimg, (h, w, 3), (0, 1), jnp.ones((2,), jnp.float32),
+                jnp.stack([ty - db[1], tx - db[0]]), method='linear')
+            out = jnp.where(m, shifted, out)
+            row = jnp.where(ok, jnp.stack(
+                [tx, ty, tx + bw, ty + bh, db[4]]), jnp.zeros(5))
+            paste_rows.append(row)
+            rects.append((tx, ty, tx + bw, ty + bh, ok))
+        # survival rule: drop originals whose centers a paste covers
+        cx = (bx[:, 0] + bx[:, 2]) / 2.0
+        cy = (bx[:, 1] + bx[:, 3]) / 2.0
+        covered = jnp.zeros((n,), jnp.bool_)
+        for tx, ty, tx2, ty2, ok in rects:
+            covered = covered | ((cx >= tx) & (cx < tx2)
+                                 & (cy >= ty) & (cy < ty2) & ok)
+        kept = _zero_dead(bx, _valid(bx) & ~covered)
+        out_bx = jnp.concatenate(
+            [kept[:n - max_paste], jnp.stack(paste_rows)], axis=0)
+        return out, out_bx
+
+    p_img, p_box = jax.vmap(one)(images, boxes, donor_img, donor_box,
+                                 sel, txy_u, apply)
+    out_img = jnp.where(apply[:, None, None, None], p_img, images)
+    out_box = jnp.where(apply[:, None, None], p_box, boxes)
+    return out_img, out_box
+
+
 def expand_box_capacity(boxes: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Pad the box axis by ``factor``x (reference generators.py:1983-2034)."""
     if factor <= 1:

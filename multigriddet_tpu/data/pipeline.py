@@ -101,6 +101,15 @@ def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
         if mixup_prob > 0:
             images, boxes = A.random_mixup(keys[10], images, boxes,
                                            prob=mixup_prob)
+        cp_prob = cfg.get('copypaste_prob', 0.0)
+        if cp_prob > 0:
+            # capacity grows by +copypaste_max slots (additive, unlike the
+            # x4/x2 mosaic/mixup expansion) to hold the pasted boxes
+            cp_max = int(cfg.get('copypaste_max', 4))
+            boxes = jnp.pad(boxes, ((0, 0), (0, cp_max), (0, 0)))
+            images, boxes = A.random_copypaste(
+                jax.random.fold_in(key, 104), images, boxes, prob=cp_prob,
+                max_paste=cp_max)
     images = A.normalize_images(images)
     y_true = encode_targets(boxes, [np.asarray(a, np.float32)
                                     for a in anchors_tuple],

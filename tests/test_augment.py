@@ -163,3 +163,64 @@ def test_rotate_any_boxes_cover_content(batch):
     w1 = ob[..., 2] - ob[..., 0]
     assert (w1[alive] >= w0[alive] - 1.5).all()
     assert (ob[..., 0] >= -1e-3).all() and (ob[..., 2] <= W + 1e-3).all()
+
+
+def test_copypaste_appends_donor_boxes(rng):
+    p = 3
+    images = np.zeros((B, H, W, 3), np.float32)
+    for i in range(B):
+        images[i] = (i + 1) * 20.0           # distinctive fill per image
+    boxes = np.zeros((B, N + p, 5), np.float32)  # capacity pre-padded +p
+    boxes[:, 0] = [10, 12, 40, 44, 1]
+    boxes[:, 1] = [30, 5, 60, 30, 2]
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_copypaste(k, i, b, prob=1.0,
+                                           max_paste=p))(
+            jax.random.PRNGKey(9), jnp.asarray(images), jnp.asarray(boxes))
+    oi, ob = np.asarray(out_img), np.asarray(out_box)
+    for i in range(B):
+        pastes = ob[i, -p:]
+        alive = (pastes[:, 2] - pastes[:, 0]) > 0
+        assert alive.any(), f'image {i}: no pastes landed'
+        donor_fill = ((i + 1) % B + 1) * 20.0
+        for row in pastes[alive]:
+            x1, y1, x2, y2, cls = row
+            # pasted boxes stay inside the canvas, keep donor class ids
+            assert 0 <= x1 < x2 <= W + 1e-3 and 0 <= y1 < y2 <= H + 1e-3
+            assert cls in (1.0, 2.0)
+            # center pixel shows the donor image's fill value
+            cy, cx = int((y1 + y2) / 2), int((x1 + x2) / 2)
+            np.testing.assert_allclose(oi[i, cy, cx], donor_fill)
+    # non-pasted pixels keep the target fill
+    for i in range(B):
+        assert (oi[i] == (i + 1) * 20.0).any()
+
+
+def test_copypaste_survival_rule(rng):
+    """Originals whose centers a paste covers are zeroed, not duplicated."""
+    p = 2
+    images = np.zeros((B, H, W, 3), np.float32)
+    boxes = np.zeros((B, N + p, 5), np.float32)
+    # one huge donor box -> any paste covers most of the canvas
+    boxes[:, 0] = [1, 1, W - 1, H - 1, 3]
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_copypaste(k, i, b, prob=1.0,
+                                           max_paste=p))(
+            jax.random.PRNGKey(10), jnp.asarray(images), jnp.asarray(boxes))
+    ob = np.asarray(out_box)
+    for i in range(B):
+        originals = ob[i, :N]
+        alive = (originals[:, 2] - originals[:, 0]) > 0
+        # the full-canvas paste covers the original's center -> dropped
+        assert not alive.any()
+        pastes = ob[i, -p:]
+        assert ((pastes[:, 2] - pastes[:, 0]) > 0).any()
+
+
+def test_copypaste_prob_zero_noop(batch):
+    images, boxes = batch
+    out_img, out_box = jax.jit(
+        lambda k, i, b: A.random_copypaste(k, i, b, prob=0.0))(
+            jax.random.PRNGKey(11), images, boxes)
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(out_box), np.asarray(boxes))

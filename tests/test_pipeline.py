@@ -73,6 +73,20 @@ def test_generator_iterates_and_encodes(files):
     gen.close()
 
 
+def test_generator_with_copypaste(files):
+    gen = MultiGridDataGenerator(
+        files, ANCHORS, 3, (64, 64), batch_size=2, max_boxes=4,
+        augment={'enabled': True, 'mosaic_prob': 0.0, 'mixup_prob': 0.0,
+                 'copypaste_prob': 1.0, 'copypaste_max': 2},
+        train=True, seed=5)
+    images, y_true, boxes = next(iter(gen))
+    # capacity grew by +copypaste_max and the chain still encodes
+    assert boxes.shape[1] == 4 + 2
+    assert images.shape == (2, 64, 64, 3)
+    assert sum(float(np.asarray(t)[..., 4].sum()) for t in y_true) > 0
+    gen.close()
+
+
 def test_multiscale_buckets(files):
     gen = MultiGridDataGenerator(
         files, ANCHORS, 3, (416, 416), batch_size=2, max_boxes=4,
