@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Input-pipeline benchmark: reference tf.data vs the TPU device pipeline.
+
+Measures augmentation + 9-cell-target-encoding samples/sec at IDENTICAL
+config on the same synthetic JPEG dataset:
+
+  * reference: ``MultiGridDataGenerator.build_tf_dataset``
+    (/root/reference/multigriddet/data/generators.py:1766-2133) on this
+    host's CPU — the reference's production loader;
+  * ours: ``multigriddet_tpu.data.MultiGridDataGenerator`` — host JPEG
+    decode + ONE jitted on-device program for the whole aug + encode
+    chain.
+
+Config (the BASELINE.md target setting): 608x608 canvas, batch 8,
+max_boxes_per_image 100, mosaic 0.3 + mixup 0.1 (x8 capacity expansion),
+COCO anchor table, 80 classes.
+
+Usage:
+  python tools/bench_pipeline.py            # both sides + ratio
+  python tools/bench_pipeline.py reference  # reference side only
+  python tools/bench_pipeline.py ours       # our side only
+"""
+
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = '/root/reference'
+sys.path.insert(0, REPO)
+
+INPUT_HW = (608, 608)
+BATCH = 8
+MAX_BOXES = 100
+NUM_CLASSES = 80
+N_IMAGES = 256              # > (WARMUP+BENCH)*BATCH so one epoch suffices
+WARMUP_BATCHES = 4
+BENCH_BATCHES = 16
+
+ANCHORS = [
+    np.array([[112, 74], [149, 190], [370, 328]], np.float32),
+    np.array([[28, 17], [56, 112], [57, 35]], np.float32),
+    np.array([[9, 10], [13, 28], [28, 55]], np.float32),
+]
+
+
+def make_dataset(root):
+    """Synthesize N_IMAGES JPEGs (640x480, 1-6 boxes) + annotation lines."""
+    from PIL import Image, ImageDraw
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(N_IMAGES):
+        path = os.path.join(root, f'bench_{i:03d}.jpg')
+        if not os.path.exists(path):
+            img = Image.fromarray(
+                rng.randint(0, 255, (480, 640, 3)).astype('uint8'))
+            d = ImageDraw.Draw(img)
+            parts = []
+            for _ in range(rng.randint(1, 7)):
+                x1, y1 = rng.randint(0, 540), rng.randint(0, 380)
+                w, h = rng.randint(30, 100), rng.randint(30, 100)
+                c = rng.randint(0, NUM_CLASSES)
+                d.rectangle([x1, y1, x1 + w, y1 + h],
+                            outline=(255, 0, 0), width=3)
+                parts.append(f'{x1},{y1},{x1+w},{y1+h},{c}')
+            img.save(path, quality=90)
+        else:
+            # regenerate the same boxes deterministically
+            parts = []
+            for _ in range(rng.randint(1, 7)):
+                x1, y1 = rng.randint(0, 540), rng.randint(0, 380)
+                w, h = rng.randint(30, 100), rng.randint(30, 100)
+                c = rng.randint(0, NUM_CLASSES)
+                parts.append(f'{x1},{y1},{x1+w},{y1+h},{c}')
+        lines.append(path + ' ' + ' '.join(parts))
+    return lines
+
+
+def bench_reference(lines):
+    """samples/sec of the reference's tf.data pipeline on this host."""
+    _ia = types.ModuleType('imgaug')
+    _iaa = types.ModuleType('imgaug.augmenters')
+    _ia.augmenters = _iaa
+    _ia.ALL = 'ALL'
+    sys.modules.setdefault('imgaug', _ia)
+    sys.modules.setdefault('imgaug.augmenters', _iaa)
+    sys.path.insert(0, REFERENCE)
+    from multigriddet.data.generators import MultiGridDataGenerator
+
+    gen = MultiGridDataGenerator(
+        annotation_lines=lines, batch_size=BATCH, input_shape=INPUT_HW,
+        anchors=ANCHORS, num_classes=NUM_CLASSES, augment=True,
+        enhance_augment=None, rescale_interval=-1, shuffle=True,
+        mosaic_prob=0.3, mixup_prob=0.1, max_boxes_per_image=MAX_BOXES)
+    ds = gen.build_tf_dataset()
+    it = iter(ds)
+    for _ in range(WARMUP_BATCHES):
+        next(it)
+    t0 = time.time()
+    n = 0
+    for _ in range(BENCH_BATCHES):
+        batch = next(it)
+        # materialize the y_true tensors (they are the product)
+        _ = [np.asarray(t).shape for t in batch[0][1:]]
+        n += BATCH
+    dt = time.time() - t0
+    return n / dt
+
+
+def bench_ours(lines):
+    """samples/sec of the TPU device pipeline (aug + encode on device)."""
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO, '.jax_cache'))
+    from multigriddet_tpu.data import MultiGridDataGenerator
+
+    gen = MultiGridDataGenerator(
+        lines, ANCHORS, NUM_CLASSES, INPUT_HW, batch_size=BATCH,
+        max_boxes=MAX_BOXES,
+        augment={'enabled': True, 'mosaic_prob': 0.3, 'mixup_prob': 0.1},
+        train=True, num_workers=8, cache_images=True)
+    # epoch 0: fills the decoded-image cache + compiles the device program
+    # (multi-epoch training's steady state — the reference re-decodes
+    # every epoch; cache_images is a product feature it lacks)
+    for images, y_true, _ in gen:
+        pass
+    jax.block_until_ready(y_true)
+
+    t0 = time.time()
+    n = 0
+    for images, y_true, _ in gen:
+        n += BATCH
+        if n >= BENCH_BATCHES * BATCH:
+            break
+    jax.block_until_ready(y_true)
+    dt = time.time() - t0
+    gen.close()
+    return n / dt
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else 'both'
+    lines = make_dataset('/tmp/bench_pipeline_ds')
+    result = {}
+    if which in ('reference', 'both'):
+        sps = bench_reference(lines)
+        result['reference_sps'] = round(sps, 1)
+        print(f'reference tf.data pipeline: {sps:.1f} samples/s')
+    if which in ('ours', 'both'):
+        sps = bench_ours(lines)
+        result['ours_sps'] = round(sps, 1)
+        print(f'TPU device pipeline:        {sps:.1f} samples/s')
+    if 'reference_sps' in result and 'ours_sps' in result:
+        result['ratio'] = round(result['ours_sps']
+                                / result['reference_sps'], 2)
+        print(f'ratio: {result["ratio"]}x (target >= 5x, BASELINE.md)')
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
