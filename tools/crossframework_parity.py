@@ -1,0 +1,385 @@
+#!/usr/bin/env python3
+"""Cross-framework detection parity via the REFERENCE'S OWN model builder.
+
+Builds ``build_multigriddet_darknet`` verbatim from the reference tree
+(/root/reference/multigriddet/models/multigriddet_darknet.py:488-548),
+saves its weights to h5, ports them into the flax flagship with
+``port_keras_weights``, and compares BOTH frameworks end to end on the
+reference's example images (/root/reference/examples/images):
+
+  stage A — raw per-scale logits on identical letterboxed inputs;
+  stage B — final per-image detections, each framework running its own
+            decode + NMS pipeline (reference: MultiGridDecoder.postprocess,
+            multigrid_decode.py:347-422; ours: the fused make_infer_step +
+            canvas_boxes_to_image).
+
+  control — the reference's postprocess fed OUR logits, isolating
+            decode+NMS parity from the ~1e-6 forward perturbation.
+
+Writes a parity report to docs/CROSSFRAMEWORK_PARITY.md with max deltas.
+
+Random init gives near-uniform tiny confidences (no detections), so the
+predict convs are self-calibrated into a REALISTIC score regime with
+confidences spread over decades (see _spread_predict_biases) before the
+weights are saved — both frameworks then run the SAME ported weights.
+Degenerate regimes measured to produce pure rank-swap churn that no
+implementation can avoid (and that trained detectors don't exhibit):
+(a) EXACT score ties — constant-input letterbox gray bands make whole
+bands of cells emit identical logits, and tie order is arbitrary
+(np.argsort()[::-1], reference nms.py:161, orders ties by DESCENDING
+index; lax.top_k ascending) — avoided by pre-resizing to the square
+canvas + 2-LSB noise; (b) NEAR-tied score bands — Glorot-init scores
+pack into a ~3e-3-wide band with gaps below the cross-framework
+f64-vs-f32 decode deltas, so candidate ranks reshuffle — avoided by the
+calibrated logit-spread amplification.  With well-separated scores the
+match is exact even where the 100-box cap saturates.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = '/root/reference'
+sys.path.insert(0, REPO)
+
+# imgaug stub (reference imports it at module scope but we never call it)
+_ia = types.ModuleType('imgaug')
+_iaa = types.ModuleType('imgaug.augmenters')
+_ia.augmenters = _iaa
+_ia.ALL = 'ALL'
+sys.modules.setdefault('imgaug', _ia)
+sys.modules.setdefault('imgaug.augmenters', _iaa)
+sys.path.insert(0, REFERENCE)
+
+INPUT_HW = (416, 416)
+NUM_CLASSES = 80
+CONFIDENCE = 0.01
+NMS_THRESHOLD = 0.45
+# the reference's NMS classes ignore their use_iol arg (always plain IoU —
+# docs/PARITY.md item 4), so parity runs our working knob at False
+USE_IOL = False
+IOU_MATCH = 0.90          # detection-match tolerance (NMS tolerance)
+SCORE_TOL = 5e-3
+# Consider ALL predictions as NMS candidates (13^2+26^2+52^2 grid cells
+# x 3 anchors = 10647 @416), like the reference's handle_predictions —
+# the production default top-k=1024 truncates the candidate tail, which
+# shows up as keep-set churn once the 100-box cap saturates.  The full
+# 10647^2 overlap matrix OOMs the chipless TPU AOT compiler, so the
+# parity run keeps the forward on TPU and executes decode+NMS (the same
+# ops the product jits) on the host CPU backend.
+PRE_NMS_TOP_K = 10647
+
+ANCHORS = [
+    np.array([[112, 74], [149, 190], [370, 328]], np.float32),
+    np.array([[28, 17], [56, 112], [57, 35]], np.float32),
+    np.array([[9, 10], [13, 28], [28, 55]], np.float32),
+]
+
+
+def _spread_predict_biases(model, probe):
+    """Self-calibrate the predict convs into a REALISTIC score regime.
+
+    Glorot-init logits vary only ~+-0.3 across cells, so rescored
+    confidences pack into a ~3e-3-wide band whose internal gaps (~1e-6)
+    sit BELOW the cross-framework f64-vs-f32 decode deltas — greedy NMS
+    then churns on rank swaps between near-tied mutually-suppressing
+    candidates, which no implementation can avoid.  A trained detector
+    spreads confidences over decades.  Emulate that per predict conv by
+    measuring the ACTUAL objectness/class conv-output distribution on a
+    probe image (Keras-3 kernel init is NOT reproducible across
+    processes, so fixed constants cannot work) and rescaling so:
+
+      * obj logits span ~[-9, +3] (sparse background, no sigmoid
+        saturation into exact ties),
+      * anchor/class logits span ~+-3 (well-separated softmax maxes).
+    """
+    import tensorflow as tf
+    outs = [o.numpy() for o in model(probe, training=False)]
+    layers = [l for l in model.layers
+              if isinstance(l, tf.keras.layers.Conv2D) and l.use_bias]
+    assert len(layers) == len(outs), (len(layers), len(outs))
+    for layer, out in zip(layers, outs):
+        k, b = layer.get_weights()
+        conv_obj = out[..., 4] - b[4]          # stats over all probe images
+        lo, hi = np.percentile(conv_obj, [1, 99])
+        s_obj = 12.0 / max(hi - lo, 1e-6)
+        # place the 99th percentile at logit +2 -> ~top 1% of cells are
+        # confident, the rest decay over decades
+        b_obj = 2.0 - s_obj * hi
+        conv_rest = out[..., 5:] - b[5:]
+        s_rest = 6.0 / max(np.percentile(conv_rest, 99)
+                           - np.percentile(conv_rest, 1), 1e-6)
+        nk = k.copy()
+        nk[..., 4] *= s_obj
+        nk[..., 5:] *= s_rest
+        nb = b.copy()
+        nb[4] = b_obj
+        nb[5:] *= s_rest
+        layer.set_weights([nk, nb])
+
+
+def _xyxy_iou(a, b):
+    ix1 = np.maximum(a[0], b[:, 0])
+    iy1 = np.maximum(a[1], b[:, 1])
+    ix2 = np.minimum(a[2], b[:, 2])
+    iy2 = np.minimum(a[3], b[:, 3])
+    iw = np.maximum(ix2 - ix1, 0.0)
+    ih = np.maximum(iy2 - iy1, 0.0)
+    inter = iw * ih
+    aa = (a[2] - a[0]) * (a[3] - a[1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(aa + ab - inter, 1e-9)
+
+
+def match_detections(ref, ours):
+    """Greedy per-class matching. Returns (matched, iou_mins, score_deltas)."""
+    used = np.zeros(len(ours['boxes']), bool)
+    matches = []
+    for i in range(len(ref['boxes'])):
+        cand = np.where((ours['classes'] == ref['classes'][i]) & ~used)[0]
+        if not len(cand):
+            continue
+        ious = _xyxy_iou(ref['boxes'][i], ours['boxes'][cand])
+        j = int(np.argmax(ious))
+        if ious[j] >= IOU_MATCH:
+            used[cand[j]] = True
+            matches.append((float(ious[j]),
+                            abs(float(ref['scores'][i])
+                                - float(ours['scores'][cand[j]]))))
+    return matches
+
+
+def main():
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO, '.jax_cache'))
+    # Parity mode: force full-f32 conv accumulation.  The TPU's default
+    # matmul precision truncates conv inputs to bf16, which across the
+    # 52-conv stack grows to ~1e-2 logit deltas vs TF's f32 CPU path;
+    # with 'highest' the two frameworks agree to ~2e-6 (production keeps
+    # the fast default — this switch is for the parity measurement).
+    jax.config.update('jax_default_matmul_precision', 'highest')
+    import jax.numpy as jnp
+    from PIL import Image
+    import tensorflow as tf
+
+    from multigriddet.models.multigriddet_darknet import \
+        build_multigriddet_darknet
+    from multigriddet.postprocess.multigrid_decode import MultiGridDecoder
+
+    from multigriddet_tpu.data.annotations import letterbox_image
+    from multigriddet_tpu.models import create_model
+    from multigriddet_tpu.models.porting import port_keras_weights
+    from multigriddet_tpu.ops import (batched_nms, canvas_boxes_to_image,
+                                      decode_predictions)
+
+    tf.random.set_seed(0)
+    print('Building the reference model via its own builder...')
+    ref_model, backbone_len = build_multigriddet_darknet(
+        (*INPUT_HW, 3), [3, 3, 3], NUM_CLASSES)
+    assert backbone_len == 185
+    probe = []
+    for pn in ('air.jpg', 'dog.jpg', 'horses.jpg'):
+        with Image.open(os.path.join(REFERENCE, 'examples', 'images',
+                                     pn)) as im:
+            im = im.convert('RGB').resize((INPUT_HW[1], INPUT_HW[0]),
+                                          Image.BILINEAR)
+            probe.append(np.asarray(im, np.float32) / 255.0)
+    _spread_predict_biases(ref_model, np.stack(probe))
+    h5 = '/tmp/ref_flagship.weights.h5'
+    ref_model.save_weights(h5)
+    print(f'Saved reference weights ({ref_model.count_params()/1e6:.2f}M '
+          f'params) to {h5}')
+
+    model = create_model('multigriddet_darknet', num_classes=NUM_CLASSES)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *INPUT_HW, 3)),
+        train=False))()
+    ported = port_keras_weights(h5, variables, model=model,
+                                input_hw=INPUT_HW, verbose=False)
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    cpu = jax.devices('cpu')[0]
+    scale = np.asarray([INPUT_HW[1], INPUT_HW[0],
+                        INPUT_HW[1], INPUT_HW[0]], np.float32)
+
+    def infer_from_logits(outs):
+        """decode + NMS — the exact tail of make_infer_step
+        (training/steps.py:131-140) — on the CPU backend with the FULL
+        candidate pool."""
+        with jax.default_device(cpu):
+            dec = decode_predictions([jnp.asarray(o) for o in outs],
+                                     ANCHORS, INPUT_HW)
+            xy, wh = dec[..., 0:2], dec[..., 2:4]
+            tl = jnp.concatenate([xy - wh / 2.0, wh], axis=-1) * scale
+            scores = dec[..., 4]
+            classes = jnp.argmax(dec[..., 5:], axis=-1)
+            return batched_nms(tl, scores, classes, CONFIDENCE,
+                               NMS_THRESHOLD, max_boxes=100,
+                               pre_nms_top_k=PRE_NMS_TOP_K,
+                               nms_method='diou', use_iol=USE_IOL)
+
+    decoder = MultiGridDecoder(ANCHORS, NUM_CLASSES, INPUT_HW)
+
+    img_dir = os.path.join(REFERENCE, 'examples', 'images')
+    paths = sorted(os.path.join(img_dir, p) for p in os.listdir(img_dir)
+                   if p.lower().endswith(('.jpg', '.jpeg', '.png')))
+    n_img = int(os.environ.get('PARITY_IMAGES', len(paths)))
+    paths = paths[:n_img]
+
+    rows = []
+    logit_max = 0.0
+    total_ref = total_ours = total_matched = 0
+    total_ctl = total_ctl_matched = 0
+    all_score_deltas, all_ious = [], []
+    noise_rng = np.random.RandomState(7)
+    for path in paths:
+        name = os.path.basename(path)
+        # Pre-resize to the square canvas so letterbox is an identity
+        # (iw == ih == 416): the gray letterbox bands are EXACTLY
+        # constant input, so whole bands of cells emit identical logits
+        # — exact-tie armies of mutually-overlapping boxes whose greedy
+        # survivor set depends only on arbitrary tie ordering (measured:
+        # 19% match from tie-lattice shift alone).  +-2 LSB noise breaks
+        # residual flat-JPEG-block ties; BOTH frameworks see the
+        # identical noised image, so this biases nothing.
+        with Image.open(path) as im:
+            im = im.convert('RGB').resize((INPUT_HW[1], INPUT_HW[0]),
+                                          Image.BILINEAR)
+            iw, ih = im.size
+            raw = np.asarray(im, np.int16)
+        raw = np.clip(raw + noise_rng.randint(-2, 3, raw.shape), 0, 255)
+        im = Image.fromarray(raw.astype(np.uint8))
+        arr, _, _, _ = letterbox_image(im, INPUT_HW)
+        x = arr.astype(np.float32)[None] / 255.0
+
+        ref_outs = [o.numpy() for o in ref_model(x, training=False)]
+        jax_outs = [np.asarray(o) for o in fwd(
+            {'params': ported['params'],
+             'batch_stats': ported['batch_stats']}, jnp.asarray(x))]
+        dl = max(float(np.abs(r - j).max())
+                 for r, j in zip(ref_outs, jax_outs))
+        logit_max = max(logit_max, dl)
+
+        rb, rc, rs = decoder.postprocess(
+            ref_outs, (ih, iw), INPUT_HW, max_boxes=100,
+            confidence=CONFIDENCE, nms_threshold=NMS_THRESHOLD,
+            use_iol=USE_IOL, nms_method='diou', return_xyxy=True)
+        ref_det = {'boxes': np.asarray(rb, np.float32).reshape(-1, 4),
+                   'classes': np.asarray(rc).reshape(-1),
+                   'scores': np.asarray(rs, np.float32).reshape(-1)}
+
+        # CONTROL: the reference's own postprocess fed OUR logits —
+        # isolates decode+NMS parity from forward-pass perturbation
+        # (any end-to-end mismatch beyond this is rank-swap chaos among
+        # near-tied candidates, not an implementation difference)
+        cb, cc, cs = decoder.postprocess(
+            jax_outs, (ih, iw), INPUT_HW, max_boxes=100,
+            confidence=CONFIDENCE, nms_threshold=NMS_THRESHOLD,
+            use_iol=USE_IOL, nms_method='diou', return_xyxy=True)
+        ctl_det = {'boxes': np.asarray(cb, np.float32).reshape(-1, 4),
+                   'classes': np.asarray(cc).reshape(-1),
+                   'scores': np.asarray(cs, np.float32).reshape(-1)}
+
+        bxs, cls, scs, valid = infer_from_logits(jax_outs)
+        keep = np.asarray(valid[0])
+        b = np.asarray(bxs[0])[keep]
+        if len(b):
+            b = np.asarray(canvas_boxes_to_image(b, (ih, iw), INPUT_HW))
+            b = np.stack([b[:, 0], b[:, 1], b[:, 0] + b[:, 2],
+                          b[:, 1] + b[:, 3]], axis=-1)
+            # clip to image bounds like the reference's _convert_to_xyxy
+            # (multigrid_decode.py:397-422) and our engine.detect do
+            b[:, 0::2] = np.clip(b[:, 0::2], 0, iw)
+            b[:, 1::2] = np.clip(b[:, 1::2], 0, ih)
+        else:
+            b = np.zeros((0, 4), np.float32)
+        our_det = {'boxes': b,
+                   'classes': np.asarray(cls[0])[keep],
+                   'scores': np.asarray(scs[0])[keep]}
+
+        matches = match_detections(ref_det, our_det)
+        ctl_matches = match_detections(ctl_det, our_det)
+        n_ref, n_ours = len(ref_det['boxes']), len(our_det['boxes'])
+        total_ref += n_ref
+        total_ours += n_ours
+        total_matched += len(matches)
+        total_ctl += len(ctl_det['boxes'])
+        total_ctl_matched += len(ctl_matches)
+        all_ious += [m[0] for m in matches]
+        all_score_deltas += [m[1] for m in matches]
+        rows.append((name, n_ref, n_ours, len(matches),
+                     len(ctl_matches), len(ctl_det['boxes']), dl))
+        print(f'{name}: ref={n_ref} ours={n_ours} matched={len(matches)} '
+              f'ctl={len(ctl_matches)}/{len(ctl_det["boxes"])} '
+              f'logit_max_delta={dl:.2e}')
+
+    match_rate = total_matched / max(total_ref, 1)
+    ctl_rate = total_ctl_matched / max(total_ctl, 1)
+    report = [
+        '# Cross-framework detection parity (reference builder -> flax)',
+        '',
+        'Generated by `tools/crossframework_parity.py`: the reference\'s own',
+        '`build_multigriddet_darknet` (multigriddet_darknet.py:488-548) is',
+        'built verbatim under TF, its weights saved to h5 and ported via',
+        '`port_keras_weights`, then BOTH frameworks run end to end on the',
+        'reference\'s example images — the reference through its NumPy',
+        '`MultiGridDecoder.postprocess`; ours runs the jitted forward on',
+        'TPU (f32-accumulation parity mode) and the SAME decode+NMS ops the',
+        'product jits (`decode_predictions` + `batched_nms`) with the full',
+        f'{PRE_NMS_TOP_K}-candidate pool, matching the reference\'s',
+        '`handle_predictions`, which never truncates candidates.',
+        f'Input {INPUT_HW}, {NUM_CLASSES} classes, '
+        f'confidence {CONFIDENCE}, DIoU-NMS {NMS_THRESHOLD}.',
+        '',
+        'The predict convs are self-calibrated into a trained-detector-',
+        'like regime (confidences spread over decades, no exact-tie',
+        'armies from constant letterbox bands) — see the module',
+        'docstring for the two degenerate random-weight regimes this',
+        'avoids and why any NMS implementation diverges there.',
+        '',
+        f'- images: {len(rows)}',
+        f'- max |logit delta| across all scales/images: **{logit_max:.2e}**',
+        f'- detections (reference): {total_ref}',
+        f'- detections (ours): {total_ours}',
+        f'- matched (same class, IoU >= {IOU_MATCH}): {total_matched} '
+        f'(**{100*match_rate:.1f}%** of reference detections)',
+        f'- CONTROL — reference postprocess fed OUR logits vs our'
+        f' postprocess: {total_ctl_matched}/{total_ctl}'
+        f' (**{100*ctl_rate:.1f}%**) — isolates decode+NMS parity from'
+        f' the ~1e-6 forward-pass perturbation; residual end-to-end'
+        f' mismatches are greedy-NMS rank swaps among near-tied'
+        f' candidates, which the perturbation makes unavoidable',
+    ]
+    if all_score_deltas:
+        report += [
+            f'- max matched score delta: **{max(all_score_deltas):.2e}**',
+            f'- min matched IoU: {min(all_ious):.4f}',
+        ]
+    report += ['', '| image | ref dets | our dets | matched | control |'
+               ' max logit d |',
+               '|---|---|---|---|---|---|']
+    for name, nr, no, nm, cm, ct, dl in rows:
+        report.append(f'| {name} | {nr} | {no} | {nm} | {cm}/{ct} '
+                      f'| {dl:.2e} |')
+    report.append('')
+    # subset runs (PARITY_IMAGES set, e.g. the pytest guard) must not
+    # clobber the committed full-run report
+    if 'PARITY_IMAGES' in os.environ:
+        out = '/tmp/CROSSFRAMEWORK_PARITY.md'
+    else:
+        out = os.path.join(REPO, 'docs', 'CROSSFRAMEWORK_PARITY.md')
+    with open(out, 'w') as f:
+        f.write('\n'.join(report))
+    print(f'\nWrote {out}')
+    print(f'match rate {100*match_rate:.1f}%  control {100*ctl_rate:.1f}%  '
+          f'logit_max {logit_max:.2e}')
+    assert logit_max < 1e-4, logit_max
+    assert ctl_rate >= 0.98, ctl_rate
+    assert match_rate >= 0.90, match_rate
+
+
+if __name__ == '__main__':
+    main()
