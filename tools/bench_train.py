@@ -31,7 +31,7 @@ from multigriddet_tpu.models import create_model  # noqa: E402
 from multigriddet_tpu.training.state import TrainState  # noqa: E402
 from multigriddet_tpu.training.steps import make_train_step  # noqa: E402
 
-BATCH = 32
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 HW = (416, 416)
 NUM_CLASSES = 80
 REPEATS = 10
