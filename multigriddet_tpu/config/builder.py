@@ -27,6 +27,12 @@ def model_spec_from_config(config: Dict[str, Any]) -> Dict[str, Any]:
     """Resolve the model preset block into constructor arguments."""
     model_cfg = config.get('model', {}) or {}
     preset = model_cfg.get('preset', {}) or {}
+    if model_cfg and not preset and model_cfg.get('type', 'preset') == 'preset':
+        print("WARNING: config has a 'model' block but no 'model.preset' "
+              "section — falling back to defaults (multigriddet_darknet, "
+              "COCO anchors). Nest architecture/num_classes/input_shape/"
+              "anchors_path/classes_path under 'model.preset' "
+              "(see configs/models/multigriddet_darknet.yaml).")
     arch = preset.get('architecture', 'multigriddet_darknet')
     input_shape = tuple(preset.get('input_shape', (608, 608, 3)))
     num_classes = preset.get('num_classes')
