@@ -109,3 +109,27 @@ def test_video_mode(config, tmp_path):
     assert frames == 3
     import os
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_engine_nms_backend_and_pool_knobs(config):
+    """detection.nms_backend / pre_nms_top_k reach the fused step and the
+    pallas backend produces the same detections as the xla default."""
+    outs = {}
+    for backend in ('xla', 'pallas'):
+        cfg = dict(config)
+        cfg['detection'] = dict(config['detection'],
+                                nms_backend=backend, pre_nms_top_k=96)
+        engine = MultiGridInference(cfg)
+        assert engine.nms_backend == backend
+        assert engine.pre_nms_top_k == 96
+        img = Image.fromarray(
+            np.random.RandomState(3).randint(
+                0, 255, (64, 64, 3)).astype('uint8'))
+        outs[backend] = engine.detect(img)
+    bx, bc, bs = outs['xla']
+    px, pc, ps = outs['pallas']
+    assert len(bx) == len(px)
+    if len(bx):
+        np.testing.assert_allclose(np.asarray(bx), np.asarray(px),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(bc), np.asarray(pc))
