@@ -2,6 +2,12 @@
 """Live camera detection example (counterpart of the reference's
 examples/camera_example.py).  Press 'q' to quit."""
 
+import os
+import sys
+
+# run from a source checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from multigriddet_tpu.config import load_config
 from multigriddet_tpu.inference import MultiGridInference
 

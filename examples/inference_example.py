@@ -2,6 +2,12 @@
 """Python-API inference example (counterpart of the reference's
 examples/inference_example.py)."""
 
+import os
+import sys
+
+# run from a source checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 
 from PIL import Image

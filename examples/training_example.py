@@ -3,6 +3,12 @@
 examples/training_example.py): drive MultiGridTrainer directly with an
 in-memory config."""
 
+import os
+import sys
+
+# run from a source checkout without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from multigriddet_tpu.config import load_config
 from multigriddet_tpu.training import MultiGridTrainer
 
