@@ -111,6 +111,11 @@ def loss_config_from_config(config: Dict[str, Any]) -> LossConfig:
             float(aug.get('mosaic_prob', 0.0) or 0.0),
             float(aug.get('mixup_prob', 0.0) or 0.0))
         max_gt = int(aug.get('max_boxes_per_image', 100)) * factor
+        # copy-paste adds +copypaste_max slots on top of the multiplicative
+        # expansion (pipeline.py:104-112); mirror that here so pasted GTs
+        # can't overflow the ignore-mask capacity in fully-crowded images
+        if float(aug.get('copypaste_prob', 0.0) or 0.0) > 0:
+            max_gt += int(aug.get('copypaste_max', 4))
     norm = training.get('loss_normalization', ['batch'])
     if isinstance(norm, str):
         norm = [norm]

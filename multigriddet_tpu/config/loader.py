@@ -85,17 +85,23 @@ def load_config(path: str,
     if model_cfg_path:
         # the reference convention writes model_config repo-root-relative
         # ("configs/models/x.yaml") even inside configs/, so try the
-        # config-dir-resolved path first, then cwd, then the config dir's
-        # parent (the repo root for configs/*.yaml)
+        # config-dir-resolved path first, then the config dir's parent
+        # (the repo root for configs/*.yaml), then cwd as a last resort —
+        # a same-named file in an unrelated cwd must not shadow the
+        # repo-root config
         candidates = [model_cfg_path if os.path.isabs(model_cfg_path)
                       else os.path.join(base_dir, model_cfg_path)]
         if raw_model_cfg and not os.path.isabs(raw_model_cfg):
             candidates.append(os.path.normpath(
-                os.path.join(os.getcwd(), raw_model_cfg)))
-            candidates.append(os.path.normpath(
                 os.path.join(base_dir, os.pardir, raw_model_cfg)))
+            candidates.append(os.path.normpath(
+                os.path.join(os.getcwd(), raw_model_cfg)))
         model_cfg_path = next(
             (c for c in candidates if os.path.exists(c)), None)
+        if model_cfg_path is None:
+            print(f"WARNING: model_config {raw_model_cfg!r} resolved to no "
+                  f"existing file (tried {candidates}); continuing without "
+                  "the model preset merge.")
         if model_cfg_path:
             with open(model_cfg_path) as f:
                 model_cfg = yaml.safe_load(f) or {}

@@ -585,8 +585,18 @@ def random_copypaste(key, images, boxes, prob=0.15, max_paste=4):
             covered = covered | ((cx >= tx) & (cx < tx2)
                                  & (cy >= ty) & (cy < ty2) & ok)
         kept = _zero_dead(bx, _valid(bx) & ~covered)
-        out_bx = jnp.concatenate(
-            [kept[:n - max_paste], jnp.stack(paste_rows)], axis=0)
+        # same test between pastes: a later paste that covers an earlier
+        # pasted box's center occludes it (pastes composite in order), so
+        # zero the earlier row instead of leaving occluded GT live
+        rows = jnp.stack(paste_rows)
+        pcx = (rows[:, 0] + rows[:, 2]) / 2.0
+        pcy = (rows[:, 1] + rows[:, 3]) / 2.0
+        p_iota = jnp.arange(max_paste)
+        for q, (tx, ty, tx2, ty2, ok) in enumerate(rects):
+            occl = ((p_iota < q) & (pcx >= tx) & (pcx < tx2)
+                    & (pcy >= ty) & (pcy < ty2) & ok)
+            rows = jnp.where(occl[:, None], 0.0, rows)
+        out_bx = jnp.concatenate([kept[:n - max_paste], rows], axis=0)
         return out, out_bx
 
     p_img, p_box = jax.vmap(one)(images, boxes, donor_img, donor_box,

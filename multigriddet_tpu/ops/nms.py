@@ -169,12 +169,12 @@ def batched_nms(boxes: jnp.ndarray,
                 keep = _cluster_nms_sweep(overlap, valid, nms_threshold)
             elif backend == 'pallas':
                 # fused VMEM-resident sweep (ops/pallas_nms.py); identical
-                # keep set.  Pallas has no native CPU lowering, so on the
-                # CPU backend (tests / local runs) use interpret mode.
+                # keep set.  The kernel only lowers natively on TPU, so on
+                # every other backend (CPU tests, GPU) use interpret mode.
                 from .pallas_nms import pallas_greedy_nms
                 keep = pallas_greedy_nms(
                     nms_bx, valid, nms_threshold, nms_method, use_iol,
-                    interpret=jax.default_backend() == 'cpu')
+                    interpret=jax.default_backend() != 'tpu')
             else:  # 'standard' | 'diou' via XLA
                 overlap = _overlap_matrix(nms_bx, nms_method, use_iol)
                 keep = _greedy_sweep(overlap, valid, nms_threshold)

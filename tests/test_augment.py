@@ -224,3 +224,27 @@ def test_copypaste_prob_zero_noop(batch):
             jax.random.PRNGKey(11), images, boxes)
     np.testing.assert_array_equal(np.asarray(out_img), np.asarray(images))
     np.testing.assert_array_equal(np.asarray(out_box), np.asarray(boxes))
+
+
+def test_copypaste_stacked_pastes_occlude(rng):
+    """A later paste that covers an earlier pasted box's center zeroes the
+    earlier row (pastes composite in order), so fully-occluded pasted GT
+    never stays live."""
+    p = 3
+    images = np.zeros((B, H, W, 3), np.float32)
+    boxes = np.zeros((B, N + p, 5), np.float32)
+    # near-full-canvas donor boxes: every paste covers all earlier centers
+    boxes[:, 0] = [1, 1, W - 1, H - 1, 3]
+    boxes[:, 1] = [2, 2, W - 2, H - 2, 4]
+    _, out_box = jax.jit(
+        lambda k, i, b: A.random_copypaste(k, i, b, prob=1.0,
+                                           max_paste=p))(
+            jax.random.PRNGKey(12), jnp.asarray(images), jnp.asarray(boxes))
+    ob = np.asarray(out_box)
+    for i in range(B):
+        pastes = ob[i, -p:]
+        alive = (pastes[:, 2] - pastes[:, 0]) > 0
+        # stacked near-full-canvas pastes occlude each other: exactly one
+        # (the last VALID composite) survives — before the occlusion rule
+        # every valid paste stayed live
+        assert alive.sum() == 1

@@ -236,3 +236,15 @@ def test_kmeans_anchor_tool(tmp_path):
     assert 25 < sizes[0] < 35 and 110 < sizes[1] < 130
     mean_iou = float(np.mean(np.max(tool_iou(wh, centers), axis=1)))
     assert mean_iou > 0.85
+
+
+def test_loss_config_max_gt_boxes_copypaste_capacity():
+    """The derived max_gt_boxes includes copy-paste's additive +N capacity
+    (pipeline.py pads boxes by copypaste_max when copypaste_prob > 0)."""
+    from multigriddet_tpu.config import loss_config_from_config
+    cfg = {'training': {'augmentation': {
+        'max_boxes_per_image': 50, 'mosaic_prob': 0.5, 'mixup_prob': 0.5,
+        'copypaste_prob': 0.2, 'copypaste_max': 6}}}
+    assert loss_config_from_config(cfg).max_gt_boxes == 50 * 8 + 6
+    cfg['training']['augmentation']['copypaste_prob'] = 0.0
+    assert loss_config_from_config(cfg).max_gt_boxes == 50 * 8
