@@ -30,7 +30,8 @@ from ..ops.geometry import canvas_boxes_to_image
 from ..training.checkpoint import load_params
 from ..training.steps import make_infer_step
 from ..utils.visualization import draw_boxes, get_colors
-from .metrics import COCO_IOU_THRESHOLDS, calculate_map, format_results
+from .metrics import (COCO_IOU_THRESHOLDS, calculate_map,
+                      calculate_map_reference, format_results)
 
 
 class MultiGridEvaluator:
@@ -46,7 +47,16 @@ class MultiGridEvaluator:
         self.iou_thresholds = tuple(
             ev.get('iou_thresholds', COCO_IOU_THRESHOLDS))
         self.interp = ev.get('interpolation_method', 'coco')
+        # 'native' = standard all-point COCO AP; 'reference' = the
+        # reference's exact computation (trapz AP, pred-only classes in
+        # the mean — see docs/PARITY.md #8-10) for apples-to-apples
+        # comparisons with reference-produced numbers
+        self.metrics_mode = ev.get('metrics_mode', 'native')
         self.max_images = ev.get('max_images')
+        # per-image detection capacity; the reference evaluator decodes
+        # with max_boxes=500 (reference evaluator.py:266, 573)
+        self.max_detections = int(ev.get('max_detections', 500))
+        self.use_wbf = bool(ev.get('use_wbf', False))
         self.optimize_classes = bool(ev.get('optimize_classes', True))
         self.results_dir = ev.get('results_dir', 'results/evaluation')
         self.save_results = bool(ev.get('save_results', True))
@@ -76,9 +86,10 @@ class MultiGridEvaluator:
             self.model, self.spec['anchors'], self.input_hw,
             confidence=self.confidence, nms_threshold=self.nms_threshold,
             nms_method=self.nms_method, use_iol=self.use_iol,
-            max_boxes=100,
+            max_boxes=self.max_detections,
             nms_backend=ev.get('nms_backend', 'xla'),
-            pre_nms_top_k=int(ev.get('pre_nms_top_k', 1024)))
+            pre_nms_top_k=int(ev.get('pre_nms_top_k', 1024)),
+            use_wbf=self.use_wbf)
 
     def _load_annotations(self, path: str):
         lines = load_annotation_lines(path, shuffle=False)
@@ -159,6 +170,13 @@ class MultiGridEvaluator:
             for bi, (img_id, gt_boxes, ih, iw, raw) in enumerate(metas):
                 keep = valid[bi]
                 b, c, s = bxs[bi][keep], cls[bi][keep], scs[bi][keep]
+                if self.use_wbf and len(b):
+                    from ..postprocess.wbf import weighted_boxes_fusion
+                    b, s, c = weighted_boxes_fusion(
+                        b, s, c, iou_thr=self.nms_threshold)
+                    b = b[:self.max_detections]
+                    s = s[:self.max_detections]
+                    c = c[:self.max_detections]
                 if len(b):
                     b = np.asarray(canvas_boxes_to_image(
                         b, (ih, iw), self.input_hw))
@@ -188,11 +206,21 @@ class MultiGridEvaluator:
         self.timing['images_per_sec'] = n / t_infer if t_infer > 0 else 0.0
 
         t0 = time.time()
-        results = calculate_map(
-            predictions, ground_truths, self.spec['num_classes'],
-            self.iou_thresholds, self.interp, self.optimize_classes,
-            self.class_names,
-            use_parallel=bool(self.eval_cfg.get('use_parallel', False)))
+        if self.metrics_mode == 'reference':
+            results = calculate_map_reference(
+                predictions, ground_truths, self.spec['num_classes'],
+                self.iou_thresholds, self.interp, self.optimize_classes,
+                self.class_names)
+            results['gt_counts'] = np.array(
+                [sum(int((g['classes'] == c).sum())
+                     for g in ground_truths.values())
+                 for c in range(self.spec['num_classes'])])
+        else:
+            results = calculate_map(
+                predictions, ground_truths, self.spec['num_classes'],
+                self.iou_thresholds, self.interp, self.optimize_classes,
+                self.class_names,
+                use_parallel=bool(self.eval_cfg.get('use_parallel', False)))
         self.timing['metrics_s'] = time.time() - t0
         self.timing['total_s'] = time.time() - t0_all
         results['timing'] = dict(self.timing)

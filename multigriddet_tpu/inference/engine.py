@@ -46,6 +46,10 @@ class MultiGridInference:
         # — raise this toward the total prediction count for exact-tail
         # parity at low confidence thresholds.
         self.pre_nms_top_k = int(det.get('pre_nms_top_k', 1024))
+        # WBF replaces NMS when enabled, as in the reference
+        # (inference_engine.py:126-135): device confidence filter + top-k,
+        # then host-side weighted fusion of the candidate pool.
+        self.use_wbf = bool(det.get('use_wbf', False))
         self._load_model()
 
     def _load_model(self):
@@ -73,7 +77,19 @@ class MultiGridInference:
             confidence=self.confidence, nms_threshold=self.nms_threshold,
             nms_method=self.nms_method, use_iol=self.use_iol,
             max_boxes=self.max_boxes, class_aware=self.class_aware,
-            nms_backend=self.nms_backend, pre_nms_top_k=self.pre_nms_top_k)
+            nms_backend=self.nms_backend, pre_nms_top_k=self.pre_nms_top_k,
+            use_wbf=self.use_wbf)
+
+    def _host_fuse(self, boxes, classes, scores):
+        """Apply WBF to one image's candidate pool (canvas pixels)."""
+        if self.use_wbf and len(boxes):
+            from ..postprocess.wbf import weighted_boxes_fusion
+            boxes, scores, classes = weighted_boxes_fusion(
+                boxes, scores, classes, iou_thr=self.nms_threshold)
+            boxes = boxes[:self.max_boxes]
+            classes = classes[:self.max_boxes]
+            scores = scores[:self.max_boxes]
+        return boxes, classes, scores
 
     # ------------------------------------------------------------------
 
@@ -90,6 +106,7 @@ class MultiGridInference:
                                 np.asarray(scs[0]), np.asarray(valid[0]))
         keep = valid
         bxs, cls, scs = bxs[keep], cls[keep], scs[keep]
+        bxs, cls, scs = self._host_fuse(bxs, cls, scs)
         if len(bxs):
             # canvas-pixels -> original image pixels, clipped to bounds
             ih, iw = image.size[1], image.size[0]
@@ -121,6 +138,7 @@ class MultiGridInference:
             for i, (ih, iw) in enumerate(sizes):
                 keep = valid[i]
                 b, c, s = bxs[i][keep], cls[i][keep], scs[i][keep]
+                b, c, s = self._host_fuse(b, c, s)
                 if len(b):
                     b = np.asarray(canvas_boxes_to_image(
                         b, (ih, iw), self.input_hw))

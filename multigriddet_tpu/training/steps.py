@@ -108,6 +108,7 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
                     pre_nms_top_k: int = 1024,
                     class_aware: bool = False,
                     nms_backend: str = 'xla',
+                    use_wbf: bool = False,
                     mesh: Optional[Mesh] = None) -> Callable:
     """Fused forward + decode + NMS, entirely on device.
 
@@ -115,6 +116,12 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
     gpu_postprocess.py: one XLA program from pixels to final (boxes,
     classes, scores, valid) — no host round-trip between model and NMS.
     Boxes come back as top-left (x, y, w, h) in canvas pixels.
+
+    With ``use_wbf=True`` the NMS sweep is skipped and the step returns
+    the ``pre_nms_top_k`` confidence-filtered candidates (score-sorted)
+    instead, for host-side Weighted Boxes Fusion — the reference's
+    ``detection.use_wbf`` mode (inference_engine.py:126-135, WBF replaces
+    NMS in handle_predictions, multigrid_decode.py:262-320).
     """
     anchors = [np.asarray(a, np.float32) for a in anchors]
     scale = jnp.asarray([input_hw[1], input_hw[0],
@@ -134,6 +141,13 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
         tl = jnp.concatenate([xy - wh / 2.0, wh], axis=-1) * scale
         scores = dec[..., 4]
         classes = jnp.argmax(dec[..., 5:], axis=-1)
+        if use_wbf:
+            def candidates(bx, sc, cl):
+                sc = jnp.where(sc >= confidence, sc, -1e9)
+                k = min(pre_nms_top_k, sc.shape[0])
+                top_sc, idx = jax.lax.top_k(sc, k)
+                return bx[idx], cl[idx], top_sc, top_sc > -1e8
+            return jax.vmap(candidates)(tl, scores, classes)
         return batched_nms(tl, scores, classes, confidence, nms_threshold,
                            max_boxes=max_boxes, pre_nms_top_k=pre_nms_top_k,
                            nms_method=nms_method, use_iol=use_iol,

@@ -133,3 +133,42 @@ def test_engine_nms_backend_and_pool_knobs(config):
         np.testing.assert_allclose(np.asarray(bx), np.asarray(px),
                                    atol=1e-4)
         np.testing.assert_array_equal(np.asarray(bc), np.asarray(pc))
+
+
+def test_engine_use_wbf_changes_outputs(config):
+    """detection.use_wbf is honored end to end (reference
+    inference_engine.py:126-135): the fused step returns the candidate
+    pool instead of NMS keeps, and the host fuses overlapping same-class
+    candidates into weighted-average boxes."""
+    det = dict(config['detection'], confidence_threshold=0.01,
+               nms_threshold=0.3)
+    cfg_wbf = dict(config, detection=dict(det, use_wbf=True))
+    eng = MultiGridInference(cfg_wbf)
+    assert eng.use_wbf
+    # the infer step now yields the full confidence-filtered pool
+    # (84 predictions at 64x64: 2x2 + 4x4 + 8x8 cells x 1 anchor)
+    import jax.numpy as jnp
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+    bxs, cls, scs, valid = eng._infer(eng.variables, dummy)
+    assert bxs.shape[1] == 84  # pool, not max_boxes
+    # host fusion: two heavily-overlapping same-class candidates merge
+    # into one weighted-average box; the isolated one survives untouched
+    boxes = np.array([[10, 10, 20, 20], [12, 12, 20, 20],
+                      [50, 50, 8, 8]], np.float32)
+    scores = np.array([0.9, 0.3, 0.5], np.float32)
+    classes = np.array([1, 1, 1], np.int32)
+    fb, fc, fs = eng._host_fuse(boxes, classes, scores)
+    assert len(fb) == 2
+    w = scores[:2] / scores[:2].sum()
+    np.testing.assert_allclose(
+        fb[0], boxes[0] * w[0] + boxes[1] * w[1], rtol=1e-5)
+    np.testing.assert_allclose(fs[0], scores[:2].mean(), rtol=1e-6)
+    np.testing.assert_allclose(fb[1], boxes[2])
+    # end-to-end detect respects the max_boxes budget and stays sorted
+    img = Image.fromarray(
+        np.random.RandomState(7).randint(
+            0, 255, (64, 64, 3)).astype('uint8'))
+    b2, c2, s2 = eng.detect(img)
+    assert len(b2) <= eng.max_boxes
+    if len(s2) > 1:
+        assert (np.diff(s2) <= 1e-6).all()

@@ -204,3 +204,76 @@ def test_evaluator_saves_coco_detections(dataset, tmp_path):
         assert set(d) == {'image_id', 'category_id', 'bbox', 'score'}
         assert len(d['bbox']) == 4
     assert (tmp_path / 'res' / 'evaluation_results.json').exists()
+
+
+def test_evaluator_max_detections_and_wbf(dataset, tmp_path):
+    """evaluation.max_detections reaches the fused step's capacity
+    (reference evaluator decodes with max_boxes=500, evaluator.py:266)
+    and evaluation.use_wbf routes per-image candidates through WBF."""
+    from multigriddet_tpu.evaluation import MultiGridEvaluator
+
+    root, ann, classes, anchors = dataset
+    base = {
+        'model': {'type': 'preset', 'preset': {
+            'architecture': 'multigriddet_tiny', 'num_classes': 2,
+            'input_shape': [64, 64, 3], 'anchors_path': str(anchors),
+            'classes_path': str(classes)}},
+        'data': {'annotation': str(ann), 'classes_path': str(classes)},
+        'evaluation': {
+            'batch_size': 4, 'input_shape': [64, 64, 3],
+            'confidence_threshold': 0.01, 'max_images': 4,
+            'iou_thresholds': [0.5], 'save_results': False},
+    }
+    ev = MultiGridEvaluator(base)
+    assert ev.max_detections == 500  # reference default
+
+    cfg = dict(base)
+    cfg['evaluation'] = dict(base['evaluation'], max_detections=7)
+    ev_small = MultiGridEvaluator(cfg)
+    assert ev_small.max_detections == 7
+    ev_small.evaluate()
+    assert all(len(p['boxes']) <= 7 for p in ev_small.predictions.values())
+
+    cfg_wbf = dict(base)
+    cfg_wbf['evaluation'] = dict(base['evaluation'], use_wbf=True,
+                                 max_detections=7)
+    ev_wbf = MultiGridEvaluator(cfg_wbf)
+    assert ev_wbf.use_wbf
+    res = ev_wbf.evaluate()
+    assert np.isfinite(res['mAP50'])
+    assert all(len(p['boxes']) <= 7 for p in ev_wbf.predictions.values())
+    # WBF consumed the candidate pool: the fused step returns candidates,
+    # not NMS keeps (actual fusion math is pinned in
+    # tests/test_inference.py::test_engine_use_wbf_changes_outputs)
+    import jax.numpy as jnp
+    pool = ev_wbf._infer(ev_wbf.variables,
+                         jnp.zeros((4, 64, 64, 3), jnp.uint8))
+    assert pool[0].shape[1] == 84  # full pool, not max_detections
+
+
+def test_evaluator_reference_metrics_mode(dataset, tmp_path):
+    """evaluation.metrics_mode: reference routes through the pinned
+    reference-exact mAP twin (docs/PARITY.md #8-10)."""
+    from multigriddet_tpu.evaluation import MultiGridEvaluator
+
+    root, ann, classes, anchors = dataset
+    cfg = {
+        'model': {'type': 'preset', 'preset': {
+            'architecture': 'multigriddet_tiny', 'num_classes': 2,
+            'input_shape': [64, 64, 3], 'anchors_path': str(anchors),
+            'classes_path': str(classes)}},
+        'data': {'annotation': str(ann), 'classes_path': str(classes)},
+        'evaluation': {
+            'batch_size': 4, 'input_shape': [64, 64, 3],
+            'confidence_threshold': 0.01, 'max_images': 4,
+            'iou_thresholds': [0.5, 0.75], 'save_results': False,
+            'metrics_mode': 'reference'},
+    }
+    ev = MultiGridEvaluator(cfg)
+    res = ev.evaluate()
+    # reference result schema: per_class with AP{t:.2f} keys, per_iou
+    assert 'per_iou' in res and 'per_class' in res
+    assert np.isfinite(res['mAP50'])
+    for cls_res in res['per_class'].values():
+        assert 'AP0.50' in cls_res and 'AP' in cls_res
+    ev.print_results()
