@@ -246,3 +246,266 @@ def format_results(results: Dict, top_k: int = 20) -> str:
         lines.append(f'... {len(per_class) - top_k} more classes')
     lines.append('=' * 64)
     return '\n'.join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact mAP (behavioral twin of reference calculate_map)
+# ---------------------------------------------------------------------------
+# The native calculate_map above implements the STANDARD COCO-style AP
+# (all-point step interpolation, GT-bearing classes only).  The reference's
+# calculate_map (/root/reference/multigriddet/evaluation/metrics.py:529-814)
+# differs in ways that change the numbers, so accuracy comparisons against
+# reference-produced results need this faithful twin:
+#
+#   1. "coco" AP is np.trapz over recall-sorted interpolated precision with
+#      NO (recall=0, precision) anchor (metrics.py:285-302) — it drops the
+#      rectangle below the first recall point, so AP is systematically lower
+#      than standard all-point AP (up to the full first-point precision).
+#   2. Classes with predictions but zero GT contribute AP=0.0 to the mean;
+#      classes with GT and no predictions contribute 0.0; a class with
+#      neither would score 1.0 but is never active (metrics.py:330, 427-446).
+#   3. The UNCACHED matching path computes IoU via BoxUtils.box_iou, which
+#      interprets the xyxy boxes it is given as CENTER-format (cx, cy, w, h)
+#      (utils/boxes.py:27-37) — a misread that changes the IoU values.  The
+#      top-level run uses the cached (correct-xyxy) path while predictions
+#      <= 10k, but the APS/APM/APL recursion ALWAYS passes cache_ious=False
+#      (metrics.py:752-800), so the reference's size-breakdown numbers are
+#      computed with misread IoUs.  Replicated faithfully behind
+#      ``cache_ious``.
+#   4. Precision/recall use +1e-8 denominators; matching sorts by
+#      np.argsort(score)[::-1] (ties in reverse index order).
+#
+# Inputs use THIS module's dict format (top-left xywh); boxes are converted
+# to xyxy internally, matching what the reference evaluator feeds its
+# metrics (evaluator.py:115).
+
+
+def _xywh_to_xyxy(boxes: np.ndarray) -> np.ndarray:
+    out = np.asarray(boxes, np.float64).reshape(-1, 4).copy()
+    out[:, 2] += out[:, 0]
+    out[:, 3] += out[:, 1]
+    return out
+
+
+def _iou_xyxy_pair(a: np.ndarray, b: np.ndarray) -> float:
+    """Correct xyxy IoU with the reference's where=union>0 guard."""
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+    union = ((a[2] - a[0]) * (a[3] - a[1])
+             + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return float(inter / union) if union > 0 else 0.0
+
+
+def _iou_center_misread_pair(a: np.ndarray, b: np.ndarray) -> float:
+    """Reference BoxUtils.box_iou on xyxy input: treats (x1,y1,x2,y2) as
+    (cx,cy,w,h) (reference utils/boxes.py:27-56)."""
+    ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    ax2, ay2 = a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    bx2, by2 = b[0] + b[2] / 2, b[1] + b[3] / 2
+    ix1, iy1 = max(ax1, bx1), max(ay1, by1)
+    ix2, iy2 = min(ax2, bx2), min(ay2, by2)
+    if ix2 <= ix1 or iy2 <= iy1:
+        return 0.0
+    inter = (ix2 - ix1) * (iy2 - iy1)
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def _ref_match_class(preds, gts, iou_threshold: float, cached: bool):
+    """Greedy global-confidence matching for one class.
+
+    ``preds``: list of (image_id, xyxy box, score); ``gts``: list of
+    (image_id, xyxy box).  Returns (tp, fp, sorted scores) exactly like the
+    reference match_predictions_to_gt[_cached] (metrics.py:73-218).
+    """
+    scores = np.array([p[2] for p in preds])
+    order = np.argsort(scores)[::-1]
+    tp = np.zeros(len(preds), bool)
+    fp = np.zeros(len(preds), bool)
+    matched = set()
+    for i, pi in enumerate(order):
+        img_id, box, _ = preds[pi]
+        cands = [j for j, g in enumerate(gts)
+                 if g[0] == img_id and j not in matched]
+        if not cands:
+            fp[i] = True
+            continue
+        if cached:
+            # cached path: strict-> accumulation from 0.0, correct xyxy IoU
+            best_iou, best_j = 0.0, None
+            for j in cands:
+                iou = _iou_xyxy_pair(box, gts[j][1])
+                if iou > best_iou:
+                    best_iou, best_j = iou, j
+            if best_iou >= iou_threshold and best_j is not None:
+                tp[i] = True
+                matched.add(best_j)
+            else:
+                fp[i] = True
+        else:
+            # uncached path: argmax (first max wins), center-misread IoU
+            ious = [_iou_center_misread_pair(box, gts[j][1]) for j in cands]
+            k = int(np.argmax(ious))
+            if ious[k] >= iou_threshold:
+                tp[i] = True
+                matched.add(cands[k])
+            else:
+                fp[i] = True
+    return tp, fp, scores[order]
+
+
+def _ref_average_precision(precisions: np.ndarray, recalls: np.ndarray,
+                           method: str) -> float:
+    """Reference compute_average_precision (metrics.py:252-304)."""
+    if len(precisions) == 0 or len(recalls) == 0:
+        return 0.0
+    if method == 'voc':
+        vals = []
+        for t in np.arange(0, 1.1, 0.1):
+            m = recalls >= t
+            vals.append(float(precisions[m].max()) if m.any() else 0.0)
+        return float(np.mean(vals))
+    si = np.argsort(recalls)
+    rs, ps = recalls[si], precisions[si]
+    interp = np.maximum.accumulate(ps[::-1])[::-1]   # suffix max
+    if len(rs) > 1:
+        return float(np.trapz(interp, rs))
+    return float(interp[0] * rs[0])
+
+
+def _ref_class_ap(preds, gts, iou_threshold: float, method: str,
+                  cached: bool) -> float:
+    """Reference calculate_ap_for_class[_cached] (metrics.py:307-390)."""
+    if not preds:
+        return 0.0 if gts else 1.0
+    if not gts:
+        return 0.0
+    tp, fp, _ = _ref_match_class(preds, gts, iou_threshold, cached)
+    ct, cf = np.cumsum(tp), np.cumsum(fp)
+    precisions = ct / (ct + cf + 1e-8)
+    recalls = ct / (len(gts) + 1e-8)
+    return _ref_average_precision(precisions, recalls, method)
+
+
+def _flatten_by_class(predictions: Dict, ground_truths: Dict):
+    """Dict-of-image format -> per-class flat lists in the reference
+    evaluator's accumulation order (image insertion order, detection
+    order within an image — evaluator.py:283-299, 101-127)."""
+    preds_by_class: Dict[int, list] = {}
+    gts_by_class: Dict[int, list] = {}
+    for img_id, p in predictions.items():
+        boxes = _xywh_to_xyxy(p['boxes'])
+        for box, c, s in zip(boxes, p['classes'], p['scores']):
+            preds_by_class.setdefault(int(c), []).append(
+                (img_id, box, float(s)))
+    for img_id, g in ground_truths.items():
+        boxes = _xywh_to_xyxy(g['boxes'])
+        for box, c in zip(boxes, g['classes']):
+            gts_by_class.setdefault(int(c), []).append((img_id, box))
+    return preds_by_class, gts_by_class
+
+
+def calculate_map_reference(predictions: Dict, ground_truths: Dict,
+                            num_classes: int,
+                            iou_thresholds: Sequence[float]
+                            = COCO_IOU_THRESHOLDS,
+                            interpolation_method: str = 'coco',
+                            optimize_classes: bool = True,
+                            class_names: Optional[Sequence[str]] = None,
+                            cache_ious: bool = True,
+                            compute_size_breakdown: bool = True) -> Dict:
+    """Reference-exact mAP (reference calculate_map, metrics.py:529-814).
+
+    Same inputs as ``calculate_map``; returns the reference's result schema
+    (mAP/mAP50/mAP75, per_class with AP{t:.2f} keys, per_iou, APS/APM/APL
+    + *50 variants).  Pinned to recorded reference fixtures in
+    tests/test_metrics_parity.py.
+    """
+    iou_thresholds = list(iou_thresholds)
+    names = list(class_names) if class_names else [
+        f'class_{i}' for i in range(num_classes)]
+    preds_by_class, gts_by_class = _flatten_by_class(predictions,
+                                                     ground_truths)
+    if optimize_classes:
+        active = sorted(set(preds_by_class) | set(gts_by_class))
+    else:
+        active = list(range(num_classes))
+
+    results: Dict = {
+        'per_class': {}, 'per_iou': {},
+        'num_predictions': sum(len(v) for v in preds_by_class.values()),
+        'num_ground_truths': sum(len(v) for v in gts_by_class.values()),
+    }
+    iou_aps = {t: [] for t in iou_thresholds}
+    for c in active:
+        preds = preds_by_class.get(c, [])
+        gts = gts_by_class.get(c, [])
+        per_thr = {}
+        for t in iou_thresholds:
+            ap = _ref_class_ap(preds, gts, t, interpolation_method,
+                               cached=cache_ious)
+            per_thr[f'AP{t:.2f}'] = ap
+            iou_aps[t].append(ap)
+        per_thr['AP'] = float(np.mean(list(per_thr.values())))
+        name = names[c] if c < len(names) else f'class_{c}'
+        results['per_class'][name] = per_thr
+    for t in iou_thresholds:
+        if iou_aps[t]:
+            results['per_iou'][f'mAP{t:.2f}'] = float(np.mean(iou_aps[t]))
+    results['mAP50'] = (results['per_iou'].get('mAP0.50', 0.0)
+                        if 0.5 in iou_thresholds else 0.0)
+    results['mAP75'] = (results['per_iou'].get('mAP0.75', 0.0)
+                        if 0.75 in iou_thresholds else 0.0)
+    results['mAP'] = (float(np.mean([
+        results['per_iou'].get(f'mAP{t:.2f}', 0.0)
+        for t in iou_thresholds])) if iou_thresholds else 0.0)
+
+    if compute_size_breakdown:
+        # reference size recursion: xyxy-area filters, then a nested
+        # calculate_map with cache_ious=False (the misread-IoU path) and
+        # no further recursion (metrics.py:736-800)
+        for key, lo, hi in (('APS', None, 1024.0),
+                            ('APM', 1024.0, 9216.0),
+                            ('APL', 9216.0, None)):
+            fp, fg = _filter_area(predictions, ground_truths, lo, hi)
+            if sum(len(g['boxes']) for g in fg.values()):
+                sub = calculate_map_reference(
+                    fp, fg, num_classes, iou_thresholds,
+                    interpolation_method, optimize_classes, class_names,
+                    cache_ious=False, compute_size_breakdown=False)
+                results[key] = sub['mAP']
+                results[key + '50'] = sub.get('mAP50', 0.0)
+            else:
+                results[key] = results[key + '50'] = 0.0
+    else:
+        for key in ('APS', 'APM', 'APL'):
+            results[key] = results[key + '50'] = 0.0
+    return results
+
+
+def _filter_area(predictions: Dict, ground_truths: Dict,
+                 min_area: Optional[float], max_area: Optional[float]):
+    """Reference filter_by_area on xyxy areas (metrics.py:425-460),
+    applied image-wise to the dict format (xywh area == xyxy area)."""
+    def keep_mask(boxes):
+        areas = np.asarray(boxes, np.float64).reshape(-1, 4)[:, 2] \
+            * np.asarray(boxes, np.float64).reshape(-1, 4)[:, 3]
+        m = np.ones(len(areas), bool)
+        if min_area is not None:
+            m &= areas >= min_area
+        if max_area is not None:
+            m &= areas < max_area
+        return m
+
+    fp = {}
+    for img_id, p in predictions.items():
+        m = keep_mask(p['boxes'])
+        fp[img_id] = {'boxes': p['boxes'][m], 'classes': p['classes'][m],
+                      'scores': p['scores'][m]}
+    fg = {}
+    for img_id, g in ground_truths.items():
+        m = keep_mask(g['boxes'])
+        fg[img_id] = {'boxes': g['boxes'][m], 'classes': g['classes'][m]}
+    return fp, fg

@@ -268,8 +268,140 @@ def record_photometric(rng):
     print(f'  photometric: {len(out) - 1} outputs')
 
 
+def make_map_scenarios():
+    """Synthetic prediction/GT sets for pinning calculate_map
+    (reference evaluation/metrics.py:529-814).
+
+    Five classes.  Data is stored flat, grouped by ascending image id with
+    within-image order preserved — insertion order matters because the
+    reference tie-breaks score ties by np.argsort order.
+    Scenarios:
+      crowded — 3 images, clustered GTs, overlapping preds, deliberate
+                score ties (scores quantized to 1 decimal).
+      absent  — class 0 GT-only, class 1 pred-only, class 2/4 both,
+                class 3 inactive.
+      sizes   — small/<32^2, medium, large mix to pin APS/APM/APL (the
+                reference computes these with its UNCACHED matching path,
+                whose BoxUtils.box_iou misreads xyxy as center-format —
+                utils/boxes.py:27-37; recorded as-is).
+    """
+    rng = np.random.default_rng(20260817)
+    scenarios = {}
+
+    def jitter(box, s):
+        x1, y1, x2, y2 = box
+        dx, dy = rng.normal(0, s, 2)
+        g = rng.normal(1.0, 0.08)
+        w, h = (x2 - x1) * g, (y2 - y1) * g
+        return [x1 + dx, y1 + dy, x1 + dx + w, y1 + dy + h]
+
+    # -- crowded ------------------------------------------------------
+    pred, gt = [], []
+    for img in range(3):
+        centers = rng.uniform(60, 560, (4, 2))
+        for k in range(12):
+            c = centers[k % 4] + rng.normal(0, 18, 2)
+            w, h = rng.uniform(30, 120, 2)
+            box = [c[0] - w / 2, c[1] - h / 2, c[0] + w / 2, c[1] + h / 2]
+            cls = int(rng.integers(0, 5))
+            gt.append((img, box, cls))
+            # 2 candidate detections per GT + noise FPs below
+            for _ in range(2):
+                if rng.uniform() < 0.8:
+                    pred.append((img, jitter(box, 6), cls,
+                                 round(float(rng.uniform(0.3, 1.0)), 1)))
+        for _ in range(6):   # unmatched false positives
+            c = rng.uniform(40, 580, 2)
+            w, h = rng.uniform(20, 80, 2)
+            pred.append((img, [c[0], c[1], c[0] + w, c[1] + h],
+                         int(rng.integers(0, 5)),
+                         round(float(rng.uniform(0.3, 0.9)), 1)))
+    scenarios['crowded'] = (pred, gt)
+
+    # -- absent classes ----------------------------------------------
+    pred, gt = [], []
+    for img in range(2):
+        gt.append((img, [50, 50, 150, 160], 0))            # GT-only class
+        pred.append((img, [200, 40, 260, 120], 1, 0.8))    # pred-only class
+        box2 = [300.0 + img * 7, 300.0, 420.0, 430.0]
+        gt.append((img, box2, 2))
+        pred.append((img, jitter(box2, 3), 2, 0.9))
+        pred.append((img, jitter(box2, 30), 2, 0.9))       # tie score dupe
+        box4 = [80.0, 350.0, 180.0, 460.0]
+        gt.append((img, box4, 4))
+        if img == 0:
+            pred.append((img, jitter(box4, 4), 4, 0.6))
+    scenarios['absent'] = (pred, gt)
+
+    # -- sizes --------------------------------------------------------
+    pred, gt = [], []
+    sides = {'s': (8, 24), 'm': (40, 90), 'l': (110, 300)}
+    for img in range(2):
+        for key, (lo, hi) in sides.items():
+            for _ in range(4):
+                w, h = rng.uniform(lo, hi, 2)
+                x1, y1 = rng.uniform(0, 600 - hi, 2)
+                box = [x1, y1, x1 + w, y1 + h]
+                cls = int(rng.integers(0, 5))
+                gt.append((img, box, cls))
+                if rng.uniform() < 0.85:
+                    pred.append((img, jitter(box, max(1.0, w * 0.06)), cls,
+                                 round(float(rng.uniform(0.3, 1.0)), 2)))
+        pred.append((img, [5, 5, 17, 19], int(rng.integers(0, 5)), 0.55))
+    scenarios['sizes'] = (pred, gt)
+    return scenarios
+
+
+def record_map():
+    """Record reference calculate_map outputs on the synthetic scenarios."""
+    from multigriddet.evaluation.metrics import calculate_map
+    scenarios = make_map_scenarios()
+    arrays, values = {}, {}
+    thresholds = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95]
+    for name, (pred, gt) in scenarios.items():
+        arrays[f'{name}_pred_img'] = np.array([p[0] for p in pred], np.int64)
+        arrays[f'{name}_pred_box'] = np.array([p[1] for p in pred],
+                                              np.float64)
+        arrays[f'{name}_pred_cls'] = np.array([p[2] for p in pred], np.int64)
+        arrays[f'{name}_pred_score'] = np.array([p[3] for p in pred],
+                                                np.float64)
+        arrays[f'{name}_gt_img'] = np.array([g[0] for g in gt], np.int64)
+        arrays[f'{name}_gt_box'] = np.array([g[1] for g in gt], np.float64)
+        arrays[f'{name}_gt_cls'] = np.array([g[2] for g in gt], np.int64)
+        ref_pred = [{'bbox': list(map(float, p[1])), 'class': int(p[2]),
+                     'score': float(p[3]), 'image_id': int(p[0])}
+                    for p in pred]
+        ref_gt = [{'bbox': list(map(float, g[1])), 'class': int(g[2]),
+                   'image_id': int(g[0])} for g in gt]
+        runs = {'coco': dict(method='coco', cache_ious=True),
+                'voc': dict(method='voc', cache_ious=True),
+                'coco_nocache': dict(method='coco', cache_ious=False)}
+        for run_name, kw in runs.items():
+            res = calculate_map(
+                predictions=ref_pred, ground_truths=ref_gt, num_classes=5,
+                iou_thresholds=list(thresholds), use_parallel=False,
+                optimize_classes=True, compute_per_scale=True, **kw)
+            values[f'{name}/{run_name}'] = {
+                k: (float(v) if isinstance(v, (int, float, np.floating))
+                    else {kk: ({k3: float(v3) for k3, v3 in vv.items()}
+                               if isinstance(vv, dict) else float(vv))
+                          for kk, vv in v.items()})
+                for k, v in res.items()}
+            print(f'  map[{name}/{run_name}]: mAP={res["mAP"]:.6f} '
+                  f'mAP50={res["mAP50"]:.6f} APS={res["APS"]:.6f} '
+                  f'APM={res["APM"]:.6f} APL={res["APL"]:.6f}')
+    np.savez_compressed(os.path.join(OUT_DIR, 'map.npz'), **arrays)
+    with open(os.path.join(OUT_DIR, 'map_values.json'), 'w') as f:
+        json.dump(values, f, indent=1, sort_keys=True)
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
+    if 'map' in sys.argv[1:]:
+        print('recording mAP fixtures only...')
+        record_map()
+        print('done ->', OUT_DIR)
+        return
     tf.random.set_seed(0)
     rng = np.random.default_rng(20260816)
 
@@ -285,6 +417,8 @@ def main():
     record_nms(rng)
     print('recording photometric fixtures...')
     record_photometric(rng)
+    print('recording mAP fixtures...')
+    record_map()
 
     manifest = {
         'input_hw': INPUT_HW, 'grids': GRIDS, 'num_classes': NUM_CLASSES,
