@@ -95,7 +95,8 @@ class HostImageLoader:
 
     def __init__(self, lines: Sequence[str], target_hw: Tuple[int, int],
                  max_boxes: int = 100, num_workers: int = 8,
-                 use_native: bool = True, cache_images: bool = False):
+                 use_native: bool = True, cache_images: bool = False,
+                 disk_cache_dir: Optional[str] = None):
         self.lines = list(lines)
         self.target_hw = tuple(target_hw)
         self.max_boxes = max_boxes
@@ -110,6 +111,46 @@ class HostImageLoader:
         # data_loader.cache_images option (train_config.yaml.example)
         self.cache_images = cache_images
         self._cache = {} if cache_images else None
+        # on-disk decoded cache: pays the JPEG-decode + letterbox cost once
+        # per DATASET instead of once per run (the reference re-decodes
+        # every epoch of every run, generators.py:1837-1843).  Entries are
+        # memmap-readable .npy files keyed by
+        # sha1(annotation line | file mtime | canvas hw | max_boxes), so
+        # edited images or annotations miss cleanly.
+        self.disk_cache_dir = disk_cache_dir
+        if disk_cache_dir:
+            os.makedirs(disk_cache_dir, exist_ok=True)
+
+    def _disk_key(self, line: str, hw: Tuple[int, int]) -> str:
+        import hashlib
+        path = line.split()[0]
+        try:
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            mtime = -1
+        raw = f'{line}|{mtime}|{hw[0]}x{hw[1]}|{self.max_boxes}'
+        return hashlib.sha1(raw.encode()).hexdigest()
+
+    def _disk_read(self, key: str):
+        base = os.path.join(self.disk_cache_dir, key)
+        try:
+            img = np.load(base + '.img.npy', mmap_mode='r')
+            boxes = np.load(base + '.box.npy')
+            return np.asarray(img), boxes
+        except (OSError, ValueError):
+            return None
+
+    def _disk_write(self, key: str, img: np.ndarray, boxes: np.ndarray):
+        base = os.path.join(self.disk_cache_dir, key)
+        try:
+            for suffix, arr in (('.img.npy', img), ('.box.npy', boxes)):
+                # np.save appends '.npy' unless the name already ends
+                # with it — keep the tmp name .npy-suffixed
+                tmp = base + f'.tmp{os.getpid()}{suffix}'
+                np.save(tmp, arr)
+                os.replace(tmp, base + suffix)  # atomic across processes
+        except OSError:
+            pass  # cache is best-effort; decode already succeeded
 
     def _load_batch_pil(self, batch_lines, hw, indices=None):
         def safe(line):
@@ -126,7 +167,7 @@ class HostImageLoader:
         if self._cache is not None:
             missing = [l for l in batch_lines if (l, hw) not in self._cache]
             if missing:
-                imgs, boxes = self._load_batch_uncached(missing, hw)
+                imgs, boxes = self._load_batch_disk_or_decode(missing, hw)
                 for i, line in enumerate(missing):
                     self._cache[(line, hw)] = (imgs[i], boxes[i])
             images = np.stack([self._cache[(l, hw)][0]
@@ -134,7 +175,30 @@ class HostImageLoader:
             boxes = np.stack([self._cache[(l, hw)][1]
                               for l in batch_lines])
             return images, boxes
-        return self._load_batch_uncached(batch_lines, hw)
+        return self._load_batch_disk_or_decode(batch_lines, hw)
+
+    def _load_batch_disk_or_decode(self, batch_lines: Sequence[str],
+                                   hw: Tuple[int, int]):
+        if not self.disk_cache_dir:
+            return self._load_batch_uncached(batch_lines, hw)
+        keys = [self._disk_key(l, hw) for l in batch_lines]
+        hits = list(self.pool.map(self._disk_read, keys))
+        images = np.zeros((len(batch_lines), *hw, 3), np.uint8)
+        boxes = np.zeros((len(batch_lines), self.max_boxes, 5), np.float32)
+        miss_idx = [i for i, h in enumerate(hits) if h is None]
+        for i, h in enumerate(hits):
+            if h is not None:
+                images[i], boxes[i] = h
+        if miss_idx:
+            m_imgs, m_boxes = self._load_batch_uncached(
+                [batch_lines[i] for i in miss_idx], hw)
+            for j, i in enumerate(miss_idx):
+                images[i], boxes[i] = m_imgs[j], m_boxes[j]
+            list(self.pool.map(
+                lambda args: self._disk_write(*args),
+                [(keys[i], m_imgs[j], m_boxes[j])
+                 for j, i in enumerate(miss_idx)]))
+        return images, boxes
 
     def _load_batch_uncached(self, batch_lines: Sequence[str],
                              hw: Tuple[int, int]):

@@ -152,7 +152,8 @@ class MultiGridDataGenerator:
                  seed: int = 0,
                  drop_remainder: bool = True,
                  multi_anchor_assign: bool = False,
-                 cache_images: bool = False):
+                 cache_images: bool = False,
+                 disk_cache_dir: Optional[str] = None):
         self.lines = list(annotation_lines)
         self.anchors = [np.asarray(a, np.float32) for a in anchors]
         self.num_classes = num_classes
@@ -166,7 +167,7 @@ class MultiGridDataGenerator:
         self.key = jax.random.PRNGKey(seed)
         self.loader = HostImageLoader(
             self.lines, self.input_shape, max_boxes, num_workers,
-            cache_images=cache_images)
+            cache_images=cache_images, disk_cache_dir=disk_cache_dir)
         self.drop_remainder = drop_remainder
         self.multi_anchor_assign = multi_anchor_assign
         self._anchors_tuple = tuple(
@@ -230,7 +231,13 @@ class MultiGridDataGenerator:
                     if len(idx) < self.batch_size:
                         # pad the final partial batch by wrapping so the
                         # compiled device-stage shape is reused (no ragged
-                        # shapes under jit); extra samples are duplicates
+                        # shapes under jit).  NOTE: the wrapped samples are
+                        # duplicates with no validity mask, so with
+                        # drop_remainder=False aggregate metrics/losses over
+                        # a full epoch double-count up to batch_size-1
+                        # samples; both in-tree consumers (trainer, eval
+                        # loader) use drop_remainder=True or track the true
+                        # image count themselves.
                         idx = np.resize(idx, self.batch_size)
                     batch_lines = [self.lines[i] for i in idx]
                     hw = self._pick_shape(step)

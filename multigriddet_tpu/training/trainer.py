@@ -91,17 +91,20 @@ class MultiGridTrainer:
         loader_cfg = self.config.get('data_loader', {}) or {}
         workers = int(loader_cfg.get('num_workers', 8))
         cache_images = bool(loader_cfg.get('cache_images', False))
+        disk_cache_dir = loader_cfg.get('disk_cache_dir')
         multi_anchor = bool(self.training_cfg.get('multi_anchor_assign',
                                                   False))
         self.train_gen = MultiGridDataGenerator(
             self.train_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, aug_cfg, train=True,
             rescale_interval=rescale_interval, num_workers=workers,
-            multi_anchor_assign=multi_anchor, cache_images=cache_images)
+            multi_anchor_assign=multi_anchor, cache_images=cache_images,
+            disk_cache_dir=disk_cache_dir)
         self.val_gen = MultiGridDataGenerator(
             self.val_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, {'enabled': False}, train=False,
-            num_workers=workers) if self.val_lines else None
+            num_workers=workers,
+            disk_cache_dir=disk_cache_dir) if self.val_lines else None
 
     def build_model(self, rng_seed: int = 0):
         self.model, self.spec = build_model_from_config(

@@ -134,3 +134,55 @@ def test_partial_batch_respects_drop_remainder(files):
         assert len(seen) == len(gen) == want
         assert all(s == (4, 64, 64, 3) for s in seen)
         gen.close()
+
+
+def test_disk_cache_roundtrip_and_invalidation(files, tmp_path):
+    """The on-disk decoded cache returns identical batches, survives a
+    fresh loader (the point: decode paid once per dataset, not per run),
+    and misses cleanly when the image file changes (mtime in the key)."""
+    cache_dir = str(tmp_path / 'decoded')
+    l1 = HostImageLoader(files, (64, 64), max_boxes=4, num_workers=2,
+                         disk_cache_dir=cache_dir)
+    imgs1, boxes1 = l1.load_batch(files[:4])
+    import os
+    n_entries = len([f for f in os.listdir(cache_dir)
+                     if f.endswith('.img.npy')])
+    assert n_entries == 4
+    # same loader, second read: served from disk
+    imgs2, boxes2 = l1.load_batch(files[:4])
+    np.testing.assert_array_equal(imgs1, imgs2)
+    np.testing.assert_array_equal(boxes1, boxes2)
+    l1.close()
+    # FRESH loader (new process semantics): still identical, no re-decode
+    l2 = HostImageLoader(files, (64, 64), max_boxes=4, num_workers=2,
+                         disk_cache_dir=cache_dir)
+    imgs3, boxes3 = l2.load_batch(files[:4])
+    np.testing.assert_array_equal(imgs1, imgs3)
+    np.testing.assert_array_equal(boxes1, boxes3)
+    # key includes hw: a different canvas misses and re-decodes
+    imgs4, _ = l2.load_batch(files[:1], (32, 32))
+    assert imgs4.shape == (1, 32, 32, 3)
+    # touching the image invalidates its entry (mtime key)
+    path = files[0].split()[0]
+    os.utime(path, (1e9, 1e9))
+    key_new = l2._disk_key(files[0], (64, 64))
+    assert l2._disk_read(key_new) is None
+    l2.close()
+
+
+def test_generator_with_disk_cache(files, tmp_path):
+    """disk_cache_dir plumbs through the generator; epoch 2 equals a
+    fresh-generator epoch served entirely from disk."""
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=3, max_boxes=4, augment={'enabled': False},
+              train=False, seed=7,
+              disk_cache_dir=str(tmp_path / 'dcache'))
+    g1 = MultiGridDataGenerator(files, **kw)
+    b1 = [np.asarray(img) for img, _, _ in g1]
+    g1.close()
+    g2 = MultiGridDataGenerator(files, **kw)
+    b2 = [np.asarray(img) for img, _, _ in g2]
+    g2.close()
+    assert len(b1) == len(b2) == 2
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)

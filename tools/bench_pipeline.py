@@ -112,24 +112,51 @@ def bench_reference(lines):
     return n / dt
 
 
-def bench_ours(lines):
-    """samples/sec of the TPU device pipeline (aug + encode on device)."""
+def bench_ours(lines, mode: str = 'ram'):
+    """samples/sec of the TPU device pipeline (aug + encode on device).
+
+    Modes:
+      cold — no caches: what epoch 1 of a fresh dataset costs (host
+             JPEG-decode-bound on this 1-core box).
+      disk — on-disk decoded cache pre-populated (one prior pass), fresh
+             generator and empty RAM cache: what epoch 1 of a RE-RUN
+             costs.  The reference re-decodes every epoch of every run
+             (generators.py:1837-1843).
+      ram  — in-RAM decoded cache warm (epoch>=2 steady state).
+    """
+    import shutil
+
     import jax
     jax.config.update('jax_compilation_cache_dir',
                       os.path.join(REPO, '.jax_cache'))
     from multigriddet_tpu.data import MultiGridDataGenerator
 
-    gen = MultiGridDataGenerator(
-        lines, ANCHORS, NUM_CLASSES, INPUT_HW, batch_size=BATCH,
-        max_boxes=MAX_BOXES,
-        augment={'enabled': True, 'mosaic_prob': 0.3, 'mixup_prob': 0.1},
-        train=True, num_workers=8, cache_images=True)
-    # epoch 0: fills the decoded-image cache + compiles the device program
-    # (multi-epoch training's steady state — the reference re-decodes
-    # every epoch; cache_images is a product feature it lacks)
+    disk_dir = '/tmp/bench_pipeline_dcache'
+    kw = dict(anchors=ANCHORS, num_classes=NUM_CLASSES,
+              input_shape=INPUT_HW, batch_size=BATCH, max_boxes=MAX_BOXES,
+              augment={'enabled': True, 'mosaic_prob': 0.3,
+                       'mixup_prob': 0.1},
+              train=True, num_workers=8)
+    if mode == 'cold':
+        kw.update(cache_images=False)
+    elif mode == 'disk':
+        shutil.rmtree(disk_dir, ignore_errors=True)
+        kw.update(cache_images=False, disk_cache_dir=disk_dir)
+    else:
+        kw.update(cache_images=True)
+
+    # warm pass: compiles the device program; for 'disk' it also fills the
+    # on-disk cache, for 'ram' the in-RAM cache.  For 'cold' the timed
+    # pass below still decodes everything (no cache is retained), so one
+    # compile-only pass keeps XLA compile time out of the measurement.
+    gen = MultiGridDataGenerator(lines, **kw)
     for images, y_true, _ in gen:
         pass
     jax.block_until_ready(y_true)
+    if mode in ('cold', 'disk'):
+        gen.close()
+        # fresh generator = fresh RAM state; 'disk' keeps the disk entries
+        gen = MultiGridDataGenerator(lines, **kw)
 
     t0 = time.time()
     n = 0
@@ -145,6 +172,7 @@ def bench_ours(lines):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'both'
+    modes = sys.argv[2].split(',') if len(sys.argv) > 2 else ['ram']
     lines = make_dataset('/tmp/bench_pipeline_ds')
     result = {}
     if which in ('reference', 'both'):
@@ -152,9 +180,14 @@ def main():
         result['reference_sps'] = round(sps, 1)
         print(f'reference tf.data pipeline: {sps:.1f} samples/s')
     if which in ('ours', 'both'):
-        sps = bench_ours(lines)
-        result['ours_sps'] = round(sps, 1)
-        print(f'TPU device pipeline:        {sps:.1f} samples/s')
+        if modes == ['all']:
+            modes = ['cold', 'disk', 'ram']
+        for mode in modes:
+            sps = bench_ours(lines, mode)
+            result[f'ours_sps_{mode}'] = round(sps, 1)
+            print(f'TPU device pipeline [{mode}]: {sps:.1f} samples/s')
+        result['ours_sps'] = result.get('ours_sps_ram',
+                                        list(result.values())[-1])
     if 'reference_sps' in result and 'ours_sps' in result:
         result['ratio'] = round(result['ours_sps']
                                 / result['reference_sps'], 2)
