@@ -84,8 +84,8 @@ def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
             num_anchors=num_anchors, num_classes=spec['num_classes'],
             dtype=dtype, bn_axis_name=bn_axis_name)
     else:
-        remat = bool((config.get('environment', {}) or {}).get('remat',
-                                                               False))
+        # False | True/'conv' (selective: keep conv outputs) | 'full'
+        remat = (config.get('environment', {}) or {}).get('remat', False)
         model = create_model(
             spec['architecture'], num_anchors=num_anchors,
             num_classes=spec['num_classes'], dtype=dtype,

@@ -62,9 +62,21 @@ def _build(backbone_cls, num_anchors=(3, 3, 3), num_classes=80,
     if hasattr(backbone_cls, 'bn_momentum'):
         bkw['bn_momentum'] = bn_momentum
     if remat:
-        # rematerialize the backbone in the backward pass: trades one extra
-        # forward for dropping all backbone activations from HBM
-        backbone_cls = nn.remat(backbone_cls, static_argnums=(2,))
+        import jax
+        if remat == 'full':
+            # rematerialize the whole backbone: drops ALL backbone
+            # activations from HBM at the cost of one full extra forward
+            # (including the expensive convs)
+            backbone_cls = nn.remat(backbone_cls, static_argnums=(2,))
+        else:
+            # selective remat (default, remat: true|'conv'): save each
+            # conv's output (named in layers.py::ConvBN) and recompute
+            # only the cheap BN+activation elementwise chain backward —
+            # drops ~2/3 of the residuals without re-running any conv
+            policy = jax.checkpoint_policies.save_only_these_names(
+                'conv_out')
+            backbone_cls = nn.remat(backbone_cls, static_argnums=(2,),
+                                    policy=policy)
     backbone = backbone_cls(**bkw)
     head = MultiGridHead(
         num_anchors=tuple(num_anchors), num_classes=num_classes,

@@ -17,6 +17,7 @@ from typing import Any, Callable, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -65,6 +66,9 @@ class ConvBN(nn.Module):
                     strides=(self.strides, self.strides), padding=padding,
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
+        # named for the selective remat policy (detector.py::_build):
+        # save conv outputs, recompute BN+activation in the backward pass
+        x = checkpoint_name(x, 'conv_out')
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=self.bn_momentum, epsilon=self.bn_epsilon,
                          dtype=self.dtype, param_dtype=jnp.float32,

@@ -104,13 +104,16 @@ def test_train_mode_updates_batch_stats():
     assert any(bool(jnp.any(l != 0)) for l in leaves)
 
 
-def test_remat_backbone_grads_match():
-    """remat=True gives identical forward and gradients (just less memory)."""
+@pytest.mark.parametrize('mode', [True, 'full'])
+def test_remat_backbone_grads_match(mode):
+    """Both remat modes — selective (True/'conv': save conv outputs,
+    recompute BN+activation) and 'full' (whole backbone) — give identical
+    forward and gradients, just less memory."""
     import numpy as np
     m1 = create_model('multigriddet_tiny', num_anchors=(1, 1, 1),
                       num_classes=2)
     m2 = create_model('multigriddet_tiny', num_anchors=(1, 1, 1),
-                      num_classes=2, remat=True)
+                      num_classes=2, remat=mode)
     x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3)
                     .astype(np.float32))
     v = m1.init(jax.random.PRNGKey(0), x, train=False)

@@ -32,7 +32,9 @@ from multigriddet_tpu.training.state import TrainState  # noqa: E402
 from multigriddet_tpu.training.steps import make_train_step  # noqa: E402
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-HW = (416, 416)
+SIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 416
+REMAT = sys.argv[3] if len(sys.argv) > 3 else 'none'  # none | conv | full
+HW = (SIDE, SIDE)
 NUM_CLASSES = 80
 REPEATS = 10
 PEAK_BF16 = 197e12
@@ -46,8 +48,9 @@ ANCHORS = [
 
 def main():
     rng = np.random.RandomState(0)
+    remat = {'none': False, 'conv': 'conv', 'full': 'full'}[REMAT]
     model = create_model('multigriddet_darknet', num_classes=NUM_CLASSES,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16, remat=remat)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3)), train=False))()
     tx = optax.adam(1e-4)
@@ -91,7 +94,7 @@ def main():
     assert np.isfinite(loss), loss
 
     out = {
-        'metric': 'train_images_per_sec_416_b32',
+        'metric': f'train_images_per_sec_{SIDE}_b{BATCH}_remat_{REMAT}',
         'img_per_s': round(BATCH / dt, 1),
         'step_ms': round(dt * 1e3, 2),
         'loss': round(loss, 4),
