@@ -1,15 +1,17 @@
 #!/usr/bin/env python3
-"""Driver benchmark: single-chip inference throughput @416.
+"""Driver benchmark: inference + training + input-pipeline throughput.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line.  Primary metric (BASELINE.json): images/sec/chip
+@416 inference — the full fused pipeline (forward + on-device decode +
+NMS at the SHIPPED defaults: pre_nms_top_k=1024, engine.py:48), bfloat16
+compute, uint8 host->device transfer, per-batch host-visible results so
+async dispatch can't hide work.  Extra keys carry the training step
+(forward + MultiGridLoss + backward + adam, @416 b32) and the input
+pipeline (aug + 9-cell encode @608 b8) cold / disk-warm / RAM-warm, so
+regressions in any of the three hot paths are driver-visible.
 
 Baseline: the reference reports ~30 FPS at 608x608 on a GTX 1060
-(/root/reference/README.md:617; BASELINE.md).  The driver metric
-(BASELINE.json) is images/sec/chip @416 inference — the full fused
-pipeline (forward + on-device decode + NMS), bfloat16 compute, uint8
-host->device transfer, measured with a per-batch host-visible result so
-async dispatch can't hide work.
+(/root/reference/README.md:617; BASELINE.md).
 """
 
 import json
@@ -28,9 +30,24 @@ from multigriddet_tpu.ops.nms import batched_nms
 from multigriddet_tpu.utils.anchors import DEFAULT_COCO_ANCHORS
 
 BASELINE_FPS = 30.0  # reference: GTX 1060 @608 (README.md:617)
+PEAK_BF16 = 197e12   # v5e bf16 peak FLOP/s
 
 
-def main():
+def _mfu(jitted, dt_per_call, *args):
+    """XLA-reported FLOPs of the compiled program / v5e peak."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get('flops', 0.0))
+        if flops > 0:
+            return round(flops / dt_per_call / PEAK_BF16, 4)
+    except Exception:
+        pass
+    return None
+
+
+def bench_inference():
     batch = 128
     hw = (416, 416)
     model = create_model('multigriddet_darknet', num_classes=80,
@@ -52,39 +69,108 @@ def main():
         tl = jnp.concatenate([xy - wh / 2.0, wh], axis=-1) * hw[0]
         _, _, scores, valid = batched_nms(
             tl, dec[..., 4], jnp.argmax(dec[..., 5:], axis=-1),
-            0.1, 0.45, max_boxes=100, pre_nms_top_k=512)
+            0.1, 0.45, max_boxes=100, pre_nms_top_k=1024)
         # tiny host-visible reduction so timing can't skip the work
         return jnp.sum(scores * valid)
 
-    float(infer(variables, inputs[0]))  # compile
+    # two untimed calls: the first executed program in a fresh process
+    # absorbs tunnel warm-up beyond compile
+    for i in range(2):
+        float(infer(variables, inputs[i]))
     iters = 12
     t0 = time.time()
     outs = [infer(variables, inputs[i % 2]) for i in range(iters)]
     _ = sum(float(o) for o in outs)
     dt = time.time() - t0
     ips = batch * iters / dt
-
-    # MFU: XLA-reported FLOPs of the compiled program / v5e peak (197
-    # TFLOP/s bf16) — so perf regressions are visible as a hardware
-    # fraction, not just img/s
-    mfu = None
-    try:
-        cost = (jax.jit(infer).lower(variables, inputs[0])
-                .compile().cost_analysis())
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get('flops', 0.0))
-        if flops > 0:
-            mfu = round(flops * iters / dt / 197e12, 4)
-    except Exception:
-        pass
-    print(json.dumps({
+    return {
         'metric': 'inference_images_per_sec_416',
         'value': round(ips, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(ips / BASELINE_FPS, 2),
-        'mfu_v5e_bf16': mfu,
-    }))
+        'mfu_v5e_bf16': _mfu(infer, dt / iters, variables, inputs[0]),
+    }
+
+
+def bench_train():
+    import optax
+
+    from multigriddet_tpu.losses import LossConfig
+    from multigriddet_tpu.training.state import TrainState
+    from multigriddet_tpu.training.steps import make_train_step
+
+    batch, hw, nc = 32, (416, 416), 80
+    rng = np.random.RandomState(0)
+    model = create_model('multigriddet_darknet', num_classes=nc,
+                         dtype=jnp.bfloat16)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), train=False))()
+    tx = optax.adam(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables['params'],
+        batch_stats=variables['batch_stats'],
+        opt_state=tx.init(variables['params']))
+    images = jnp.asarray(rng.rand(batch, *hw, 3).astype(np.float32))
+    ch = 3 + nc + 5
+    y_true = tuple(
+        jnp.asarray(rng.rand(batch, g, g, ch).astype(np.float32) * 0.01)
+        for g in (hw[0] // 32, hw[0] // 16, hw[0] // 8))
+    step = make_train_step(model, tx, list(DEFAULT_COCO_ANCHORS), nc, hw,
+                           LossConfig(), donate=True)
+    flops = None
+    try:
+        cost = step.lower(state, images, y_true).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get('flops', 0.0))
+    except Exception:
+        pass
+    for _ in range(2):
+        state, metrics = step(state, images, y_true)
+        float(metrics['loss'])
+    repeats = 8
+    t0 = time.time()
+    for _ in range(repeats):
+        state, metrics = step(state, images, y_true)
+    jax.block_until_ready(metrics['loss'])
+    loss = float(metrics['loss'])
+    dt = (time.time() - t0) / repeats
+    out = {'train_images_per_sec_416_b32': round(batch / dt, 1),
+           'train_step_ms': round(dt * 1e3, 2)}
+    if flops and flops > 0 and np.isfinite(loss):
+        out['train_mfu_v5e_bf16'] = round(flops / dt / PEAK_BF16, 4)
+    return out
+
+
+def bench_pipeline():
+    # clean subprocess: sharing the process with the inference/train
+    # benches measurably degrades the host pipeline (3-10x slower than
+    # the same code standalone), so measure it the way it actually runs
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, 'tools', 'bench_pipeline.py'),
+         'ours', 'cold,disk,ram'],
+        capture_output=True, text=True, timeout=1800, cwd=repo)
+    line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
+    got = json.loads(line)
+    return {
+        'pipeline_sps_cold': got['ours_sps_cold'],
+        'pipeline_sps_diskwarm': got['ours_sps_disk'],
+        'pipeline_sps_ramwarm': got['ours_sps_ram'],
+    }
+
+
+def main():
+    result = bench_inference()
+    for extra in (bench_train, bench_pipeline):
+        try:
+            result.update(extra())
+        except Exception as exc:  # keep the primary metric alive
+            result[f'{extra.__name__}_error'] = f'{type(exc).__name__}'
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
