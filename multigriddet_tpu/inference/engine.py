@@ -40,7 +40,7 @@ class MultiGridInference:
         self.use_iol = bool(det.get('use_iol', True))
         self.max_boxes = int(det.get('max_boxes', 100))
         self.class_aware = bool(det.get('class_aware_nms', False))
-        self.nms_backend = det.get('nms_backend', 'xla')  # xla | pallas
+        self.nms_backend = det.get('nms_backend', 'xla')  # xla | pallas | pallas_fused
         # NMS candidate pool after the confidence filter; the reference
         # considers every above-confidence box (multigrid_decode.py:262-302)
         # — raise this toward the total prediction count for exact-tail

@@ -141,6 +141,17 @@ def batched_nms(boxes: jnp.ndarray,
       (boxes ``[B, max_boxes, 4]``, classes ``[B, max_boxes]``,
        scores ``[B, max_boxes]``, valid ``[B, max_boxes]`` bool).
     """
+    if (backend == 'pallas_fused' and not class_aware
+            and nms_method in ('standard', 'diou')):
+        # one kernel replaces the sort -> K x K matrix -> sweep -> sort
+        # chain, operating on the FULL pool (pre_nms_top_k is ignored —
+        # this is the reference's exact never-truncate semantics)
+        from .pallas_nms import pallas_popmax_nms
+        return pallas_popmax_nms(
+            boxes, scores, classes, confidence, nms_threshold,
+            max_boxes=max_boxes, method=nms_method, use_iol=use_iol,
+            interpret=jax.default_backend() != 'tpu')
+
     def one(bx, sc, cl):
         sc = jnp.where(sc >= confidence, sc, NEG_INF)
         k = min(pre_nms_top_k, sc.shape[0])

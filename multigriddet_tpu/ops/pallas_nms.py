@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
 _LANE = 128
+_BIG_I32 = 1 << 30
 
 
 def _nms_sweep_kernel(thr_ref, comps_ref, valid_ref, keep_ref, *, k: int,
@@ -109,3 +110,138 @@ def pallas_greedy_nms(boxes: jnp.ndarray, valid: jnp.ndarray,
         interpret=interpret,
     )(jnp.asarray(threshold, jnp.float32).reshape(1), comps, valid_f)
     return keep[0, :k] > 0.5
+
+
+def _popmax_kernel(thr_ref, comps_ref, out_ref, s_ref, *, npl: int,
+                   kp: int, max_boxes: int, method: str, use_iol: bool):
+    """Pop-max greedy NMS over the FULL candidate pool.
+
+    Greedy NMS emits exactly one survivor per pop-max step (the current
+    global maximum), so ``max_boxes`` iterations over the whole pool
+    produce the final top-``max_boxes`` survivors directly — no score
+    sort, no pre-NMS truncation, no K x K overlap matrix.  Candidates
+    live in an (8, npl) VMEM layout (full sublane utilization; flat
+    index = sublane * npl + lane).
+    """
+    xs = comps_ref[0, 0]
+    ys = comps_ref[0, 1]
+    ws = comps_ref[0, 2]
+    hs = comps_ref[0, 3]
+    cls = comps_ref[0, 5]
+    threshold = thr_ref[0]
+    s_ref[:] = comps_ref[0, 4]                # live scores (NEG = dead)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, npl), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (8, npl), 1)
+    gidx = row_i * npl + col_i
+    areas = ws * hs
+    orow = jax.lax.broadcasted_iota(jnp.int32, (8, kp), 0)
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (8, kp), 1)
+    out_ref[0] = jnp.full((8, kp), NEG, jnp.float32)
+
+    def body(i, _):
+        s = s_ref[:]
+        cur = jnp.max(s)
+        live = cur > NEG / 2
+        # first-flat-index tie-break matches a stable descending sort
+        idxv = jnp.min(jnp.where(s == cur, gidx, _BIG_I32))
+        m = gidx == idxv
+        xi = jnp.max(jnp.where(m, xs, NEG))
+        yi = jnp.max(jnp.where(m, ys, NEG))
+        wi = jnp.max(jnp.where(m, ws, NEG))
+        hi = jnp.max(jnp.where(m, hs, NEG))
+        ci = jnp.max(jnp.where(m, cls, NEG))
+
+        iw = jnp.maximum(0.0, jnp.minimum(xi + wi, xs + ws)
+                         - jnp.maximum(xi, xs))
+        ih = jnp.maximum(0.0, jnp.minimum(yi + hi, ys + hs)
+                         - jnp.maximum(yi, ys))
+        inter = iw * ih
+        area_i = wi * hi
+        if use_iol:
+            ov = inter / (jnp.maximum(area_i, areas) + 1e-8)
+        else:
+            ov = inter / (area_i + areas - inter + 1e-8)
+        if method == 'diou':
+            cdist = ((xi + wi / 2.0 - xs - ws / 2.0) ** 2
+                     + (yi + hi / 2.0 - ys - hs / 2.0) ** 2)
+            ex = jnp.maximum(xi + wi, xs + ws) - jnp.minimum(xi, xs)
+            ey = jnp.maximum(yi + hi, ys + hs) - jnp.minimum(yi, ys)
+            ov = ov - cdist / (ex * ex + ey * ey + 1e-8)
+
+        sup = ((ov >= threshold) | m) & live
+        s_ref[:] = jnp.where(sup, NEG, s)
+
+        # column i of the output block: x, y, w, h, score, class, valid, 0
+        vals = jnp.where(orow == 0, xi,
+               jnp.where(orow == 1, yi,
+               jnp.where(orow == 2, wi,
+               jnp.where(orow == 3, hi,
+               jnp.where(orow == 4, cur,
+               jnp.where(orow == 5, ci,
+               jnp.where(orow == 6,
+                         jnp.where(live, 1.0, 0.0), 0.0)))))))
+        out_ref[0] = jnp.where(ocol == i, vals, out_ref[0])
+        return 0
+
+    jax.lax.fori_loop(0, max_boxes, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('max_boxes', 'method', 'use_iol', 'interpret'))
+def pallas_popmax_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                      classes: jnp.ndarray, confidence, threshold,
+                      max_boxes: int = 100, method: str = 'diou',
+                      use_iol: bool = True, interpret: bool = False):
+    """Fused confidence-filter + top-k + greedy NMS, batched, full pool.
+
+    Replaces the XLA chain ``top_k(N -> K) -> K x K overlap -> sweep ->
+    top_k(K -> max_boxes)`` with one kernel that never sorts and never
+    truncates: candidates below ``confidence`` are dead, and each of the
+    ``max_boxes`` pop-max iterations emits one survivor and suppresses
+    its overlaps.  The keep set equals the reference's pop-max host NMS
+    (/root/reference/multigriddet/postprocess/nms.py:83-140) on the FULL
+    candidate pool — the semantics ``pre_nms_top_k`` only approximates.
+
+    Args:
+      boxes: ``[B, N, 4]`` top-left (x, y, w, h) pixels.
+      scores: ``[B, N]`` confidences.
+      classes: ``[B, N]`` int class ids.
+    Returns:
+      ``(boxes [B, max_boxes, 4], classes [B, max_boxes] int32,
+      scores [B, max_boxes], valid [B, max_boxes] bool)`` — the
+      ``batched_nms`` output contract.
+    """
+    b, n = scores.shape
+    npl = max(_LANE, -(-n // (8 * _LANE)) * _LANE)   # lanes per sublane row
+    cap = 8 * npl
+    kp = max(_LANE, -(-max_boxes // _LANE) * _LANE)
+
+    sfilt = jnp.where(scores >= confidence, scores.astype(jnp.float32), NEG)
+    comps = jnp.full((b, 6, cap), 0.0, jnp.float32)
+    comps = comps.at[:, 0:4, :n].set(
+        jnp.moveaxis(boxes.astype(jnp.float32), -1, 1))
+    comps = comps.at[:, 4, :].set(
+        jnp.pad(sfilt, ((0, 0), (0, cap - n)), constant_values=NEG))
+    comps = comps.at[:, 5, :n].set(classes.astype(jnp.float32))
+    comps = comps.reshape(b, 6, 8, npl)
+
+    out = pl.pallas_call(
+        functools.partial(_popmax_kernel, npl=npl, kp=kp,
+                          max_boxes=max_boxes, method=method,
+                          use_iol=use_iol),
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, 8, kp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 6, 8, npl), lambda i: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, 8, kp), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((8, npl), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(threshold, jnp.float32).reshape(1), comps)
+
+    out = out[:, :, :max_boxes]
+    out_boxes = jnp.moveaxis(out[:, 0:4], 1, -1)
+    out_scores = out[:, 4]
+    out_classes = out[:, 5].astype(jnp.int32)
+    out_valid = out[:, 6] > 0.5
+    return out_boxes, out_classes, out_scores, out_valid

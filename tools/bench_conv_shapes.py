@@ -72,8 +72,13 @@ def timed_looped(op, x, w, repeats=3):
         def body(i, s):
             out = op(x, w, s)
             # feed a runtime-tiny scalar back into the next iteration:
-            # serializes the loop without measurable extra work
-            return jnp.min(out[..., :1].astype(jnp.float32)) * 1e-30
+            # serializes the loop.  The reduction covers the ENTIRE
+            # output — reducing a slice lets XLA push the slice into the
+            # conv (compute 1 of Cout channels) and report garbage.  The
+            # full-output min adds ~one read pass over the output, small
+            # vs the 3x3 shapes, a measurable overestimate on the
+            # bandwidth-bound 1x1s.
+            return jnp.min(out).astype(jnp.float32) * 1e-30
         return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0.0))
 
     for _ in range(2):

@@ -27,7 +27,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from multigriddet_tpu.ops import batched_nms  # noqa: E402
 
-BATCH = 64
+BATCH = 128
 REPEATS = 20
 
 
@@ -49,50 +49,60 @@ def bench(fn, *args):
 
 
 def main():
+    # NOTE: independent dispatches through the tunnel do NOT pipeline —
+    # each call is floored at the ~29.5 ms round trip, so every measured
+    # config must be slow enough per call (big BATCH) or read as "<= RTT".
     rng = np.random.RandomState(0)
     rows = []
-    for k in (512, 1024, 2048):
-        n = k * 2
-        boxes = rng.uniform(0, 400, (BATCH, n, 4)).astype(np.float32)
-        boxes[..., 2:] = rng.uniform(10, 80, (BATCH, n, 2))
-        scores = rng.uniform(0, 1, (BATCH, n)).astype(np.float32)
-        classes = rng.randint(0, 80, (BATCH, n)).astype(np.int32)
-        args = (jnp.asarray(boxes), jnp.asarray(scores),
-                jnp.asarray(classes))
-        for backend in ('xla', 'pallas'):
-            import functools
-            fn = jax.jit(functools.partial(
-                batched_nms, confidence=0.05, nms_threshold=0.45,
-                max_boxes=100, pre_nms_top_k=k, nms_method='diou',
-                use_iol=True, backend=backend))
-            dt = bench(fn, *args)
-            rows.append({'bench': 'nms_only', 'backend': backend, 'K': k,
-                         'ms': round(dt * 1e3, 2),
-                         'img_per_s': round(BATCH / dt, 1)})
-            print(json.dumps(rows[-1]))
-
-    # fused flagship path
-    from multigriddet_tpu.models import create_model
-    from multigriddet_tpu.training.steps import make_infer_step
-    from multigriddet_tpu.utils.anchors import DEFAULT_COCO_ANCHORS
-
-    model = create_model('multigriddet_darknet', num_classes=80,
-                         dtype=jnp.bfloat16)
-    images = jnp.asarray(
-        rng.randint(0, 255, (BATCH, 416, 416, 3)).astype(np.uint8))
-    variables = jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 3)),
-        train=False))()
-    for backend in ('xla', 'pallas'):
+    which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    if which in ('all', 'nms'):
+        nb = 256  # keep per-call time above the tunnel RTT floor
         for k in (512, 1024, 2048):
-            step = make_infer_step(
-                model, DEFAULT_COCO_ANCHORS, (416, 416), confidence=0.05,
-                pre_nms_top_k=k, nms_backend=backend)
-            dt = bench(step, variables, images)
-            rows.append({'bench': 'fused_416', 'backend': backend, 'K': k,
-                         'ms': round(dt * 1e3, 2),
-                         'img_per_s': round(BATCH / dt, 1)})
-            print(json.dumps(rows[-1]))
+            n = 10647 if k == 2048 else k * 2
+            boxes = rng.uniform(0, 400, (nb, n, 4)).astype(np.float32)
+            boxes[..., 2:] = rng.uniform(10, 80, (nb, n, 2))
+            scores = rng.uniform(0, 1, (nb, n)).astype(np.float32)
+            classes = rng.randint(0, 80, (nb, n)).astype(np.int32)
+            args = (jnp.asarray(boxes), jnp.asarray(scores),
+                    jnp.asarray(classes))
+            for backend in ('xla', 'pallas', 'pallas_fused'):
+                import functools
+                fn = jax.jit(functools.partial(
+                    batched_nms, confidence=0.05, nms_threshold=0.45,
+                    max_boxes=100, pre_nms_top_k=k, nms_method='diou',
+                    use_iol=True, backend=backend))
+                dt = bench(fn, *args)
+                rows.append({'bench': 'nms_only', 'backend': backend,
+                             'K': k, 'N': n, 'batch': nb,
+                             'ms': round(dt * 1e3, 2),
+                             'img_per_s': round(nb / dt, 1)})
+                print(json.dumps(rows[-1]))
+
+    if which in ('all', 'fused'):
+        from multigriddet_tpu.models import create_model
+        from multigriddet_tpu.training.steps import make_infer_step
+        from multigriddet_tpu.utils.anchors import DEFAULT_COCO_ANCHORS
+
+        model = create_model('multigriddet_darknet', num_classes=80,
+                             dtype=jnp.bfloat16)
+        images = jnp.asarray(
+            rng.randint(0, 255, (BATCH, 416, 416, 3)).astype(np.uint8))
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 3)),
+            train=False))()
+        for backend, ks in (('xla', (512, 1024, 2048)),
+                            ('pallas', (1024,)),
+                            ('pallas_fused', (1024,))):
+            for k in ks:
+                step = make_infer_step(
+                    model, DEFAULT_COCO_ANCHORS, (416, 416),
+                    confidence=0.05, pre_nms_top_k=k, nms_backend=backend)
+                dt = bench(step, variables, images)
+                rows.append({'bench': 'fused_416', 'backend': backend,
+                             'K': k, 'batch': BATCH,
+                             'ms': round(dt * 1e3, 2),
+                             'img_per_s': round(BATCH / dt, 1)})
+                print(json.dumps(rows[-1]))
 
 
 if __name__ == '__main__':

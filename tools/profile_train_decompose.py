@@ -82,7 +82,10 @@ def timed(fn, *args, repeats=3):
         cost = jitted.lower(images, *rest).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get('flops', 0.0)) / LOOP
+        # XLA's cost analysis counts a while-loop body ONCE (not trip
+        # count x body), so the looped program's flops ARE the per-call
+        # flops (verified against the known 45M-flagship fwd count)
+        flops = float(cost.get('flops', 0.0))
     except Exception:
         pass
     mfu = flops / dt / PEAK_BF16 if flops else float('nan')
