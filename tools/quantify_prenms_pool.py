@@ -59,10 +59,11 @@ def spread_predict_biases(params, probe_logits):
     over decades instead of a ~3e-3 band (random-weight degeneracy)."""
     import flax
     flat = flax.traverse_util.flatten_dict(params)
-    # predict convs: the only biased convs, output A + C + 5 channels
+    # the per-scale PredictConv output convs (BatchNorm scales also carry
+    # a 'bias' leaf, so filter by module name, not by channel count)
     pred_keys = sorted(
         {k[:-1] for k in flat if k[-1] == 'bias'
-         and flat[k].shape[-1] >= NUM_CLASSES + 5})
+         and any('PredictConv' in part for part in k)})
     assert len(pred_keys) == len(probe_logits), (pred_keys,
                                                  len(probe_logits))
     for key, out in zip(pred_keys, probe_logits):
@@ -183,7 +184,7 @@ def main():
             print(f'{k:>6} {c:>6} {a["total"]:>10} {a["lost"]:>6} '
                   f'{pct:>6.2f}% {a["images_affected"]:>5} '
                   f'{a["max_lost_score"]:>15.4f}')
-    out_path = os.path.join(REPO, 'results', 'prenms_pool.json')
+    out_path = os.path.join(REPO, 'docs', 'prenms_pool.json')
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, 'w') as f:
         json.dump({str(k): {str(c): agg[k][c] for c in CONFS}
