@@ -9,13 +9,16 @@ count, attributing the training-MFU gap (bench_train 0.33 @b32 vs 0.60
 inference fwd @b128) to specific layers and directions.
 
 Through the axon tunnel a single op call costs ~29.5 ms round-trip, so
-each timed program runs the op LOOP times inside one ``lax.fori_loop``,
+each timed program runs the op N times inside one ``lax.fori_loop``,
 serialized by a data dependence XLA cannot hoist (the loop carry
 perturbs the weights by a runtime ~1e-30 scalar derived from the
 previous output).  Per-op time = (program wall - null-program wall) /
-LOOP, where the null program measures the dispatch+RTT floor.
+N, where the null program measures the dispatch+RTT floor.  N is
+calibrated PER SHAPE so every program does ~TARGET_MS of in-program
+work — a fixed loop count buries the fast 1x1 shapes (~0.05 ms/op) in
+the ~±3 ms jitter of the RTT floor.
 
-Usage: python tools/bench_conv_shapes.py [BATCH] [SIDE] [LOOP]
+Usage: python tools/bench_conv_shapes.py [BATCH] [SIDE] [TARGET_MS]
 """
 
 import os
@@ -35,7 +38,7 @@ import jax.numpy as jnp  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 SIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 416
-LOOP = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+TARGET_MS = float(sys.argv[3]) if len(sys.argv) > 3 else 250.0
 PEAK_BF16 = 197e12
 S = SIDE
 
@@ -59,40 +62,53 @@ def shapes():
     return out
 
 
-def timed_looped(op, x, w, repeats=3):
-    """Wall time per op call: LOOP serialized calls inside one program.
+def timed_looped(op, x, w, base, repeats=3):
+    """Per-op wall time: N serialized calls inside one program.
 
     ``op(x, w, s)`` must make its output depend on the runtime-tiny
     scalar ``s`` (~1e-30; numerically a no-op) so XLA's loop-invariant
-    code motion cannot hoist it out of the ``fori_loop``.
+    code motion cannot hoist it out of the ``fori_loop``.  An 8-iter
+    calibration run sizes N so the real run does ~TARGET_MS of
+    in-program work (power-of-two, capped at 8192).
     """
 
-    @jax.jit
-    def prog(x, w):
-        def body(i, s):
-            out = op(x, w, s)
-            # feed a runtime-tiny scalar back into the next iteration:
-            # serializes the loop.  The reduction covers the ENTIRE
-            # output — reducing a slice lets XLA push the slice into the
-            # conv (compute 1 of Cout channels) and report garbage.  The
-            # full-output min adds ~one read pass over the output, small
-            # vs the 3x3 shapes, a measurable overestimate on the
-            # bandwidth-bound 1x1s.
-            return jnp.min(out).astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0.0))
+    def make(loop):
+        @jax.jit
+        def prog(x, w):
+            def body(i, s):
+                out = op(x, w, s)
+                # feed a runtime-tiny scalar back into the next
+                # iteration: serializes the loop.  The reduction covers
+                # the ENTIRE output — reducing a slice lets XLA push the
+                # slice into the conv (compute 1 of Cout channels) and
+                # report garbage.  The full-output min adds ~one read
+                # pass over the output, small vs the 3x3 shapes, a
+                # measurable overestimate on the bandwidth-bound 1x1s.
+                return jnp.min(out).astype(jnp.float32) * 1e-30
+            return jax.lax.fori_loop(0, loop, body, jnp.float32(0.0))
+        return prog
 
+    cal = make(8)
+    for _ in range(2):
+        float(cal(x, w))
+    t0 = time.time()
+    float(cal(x, w))
+    est = max((time.time() - t0 - base) / 8, 1e-7)
+    loop = int(2 ** np.ceil(np.log2(
+        min(max(TARGET_MS / 1e3 / est, 8), 8192))))
+    prog = make(loop)
     for _ in range(2):
         float(prog(x, w))
     t0 = time.time()
     outs = [prog(x, w) for _ in range(repeats)]
     _ = [float(o) for o in outs]
-    return (time.time() - t0) / repeats
+    return max((time.time() - t0) / repeats - base, 1e-9) / loop
 
 
 def null_wall(repeats=10):
     @jax.jit
     def prog(s):
-        return jax.lax.fori_loop(0, LOOP, lambda i, a: a * 0.9999 + 1e-6, s)
+        return jax.lax.fori_loop(0, 64, lambda i, a: a * 0.9999 + 1e-6, s)
 
     for _ in range(2):
         float(prog(jnp.float32(1.0)))
@@ -124,33 +140,39 @@ def main():
         out_hw = hw // stride if stride == 2 else hw
         flops = 2.0 * B * out_hw * out_hw * k * k * cin * cout
 
-        # fwd and dgrad outputs depend on w, so perturbing w (a cheap
-        # KB-MB elementwise op) carries the loop dependence; wgrad does
-        # NOT depend on w, so its dependence rides the cotangent instead
-        # (a broadcast scalar fill — ~out-sized extra traffic, negligible
-        # for the FLOP-dominant 3x3 shapes).
+        # The loop-carried dependence must be NON-FACTORABLE: conv is
+        # linear in both operands, so any scale/add perturbation
+        # (w*(1+s), w+s, cotangent*(1+s)) gets algebraically pulled out
+        # of the conv and the conv hoisted as loop-invariant (measured:
+        # "convs" at 340 TF/s).  maximum(w, s - 1e38) is a runtime
+        # no-op XLA cannot factor through the conv.  fwd and dgrad
+        # depend on w, wgrad only on x and the cotangent — so the
+        # cotangent carries its dependence (one out-sized materialized
+        # buffer; a mild overestimate for the bandwidth-bound 1x1s).
+        def pert(a, s):
+            return jnp.maximum(a, (s - 1e38).astype(a.dtype))
+
         def fwd_op(x, w, s):
-            return conv(x, w * (1.0 + s).astype(w.dtype))
+            return conv(x, pert(w, s))
 
         def dgrad_op(x, w, s):
-            return jax.grad(lambda x: jnp.sum(conv(
-                x, w * (1.0 + s).astype(w.dtype)).astype(jnp.float32)))(x)
+            return jax.grad(lambda x: jnp.sum(
+                conv(x, pert(w, s)).astype(jnp.float32)))(x)
 
         def wgrad_op(x, w, s):
             out, vjp = jax.vjp(lambda w: conv(x, w), w)
-            g = jnp.full(out.shape, 1.0 + s, out.dtype)
+            g = pert(jnp.full(out.shape, 1.0, out.dtype), s)
             return vjp(g)[0]
 
-        ts = []
-        for op in (fwd_op, dgrad_op, wgrad_op):
-            wall = timed_looped(op, x, w)
-            ts.append(max(wall - base, 1e-9) / LOOP)
+        ts = [timed_looped(op, x, w, base)
+              for op in (fwd_op, dgrad_op, wgrad_op)]
         rows.append((name, hw, cin, cout, k, stride, count, flops, *ts))
         for key, dt in zip(('fwd', 'dgrad', 'wgrad'), ts):
             totals[key] += dt * count
             tflops[key] += flops * count
 
-    print(f'batch={B} side={SIDE} loop={LOOP} bf16 NHWC  (mfu = analytic '
+    print(f'batch={B} side={SIDE} target={TARGET_MS:.0f}ms bf16 NHWC  '
+          f'(mfu = analytic '
           f'flops / {PEAK_BF16 / 1e12:.0f} TF/s peak)')
     print(f'{"shape":<14}{"hw":>5}{"cin":>5}{"cout":>5}{"k":>3}{"s":>3}'
           f'{"n":>3}{"gflop":>8}'
