@@ -86,11 +86,14 @@ def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
     else:
         # False | True/'conv' (selective: keep conv outputs) | 'full'
         remat = (config.get('environment', {}) or {}).get('remat', False)
+        # space-to-depth early-stage rewrite: on by default for the
+        # backbones that support it; `model.s2d_stem: false` disables
+        s2d_stem = (config.get('model', {}) or {}).get('s2d_stem')
         model = create_model(
             spec['architecture'], num_anchors=num_anchors,
             num_classes=spec['num_classes'], dtype=dtype,
             bn_axis_name=bn_axis_name, bn_momentum=bn_momentum,
-            remat=remat)
+            remat=remat, s2d_stem=s2d_stem)
     return model, spec
 
 

@@ -19,22 +19,30 @@ import jax.numpy as jnp
 
 from .layers import ConvBN, Taps
 from .registry import register_backbone
+from ..ops.s2d import space_to_depth
 
 
 class _ResStage(nn.Module):
-    """Downsample conv followed by ``num_blocks`` residual bottlenecks."""
+    """Downsample conv followed by ``num_blocks`` residual bottlenecks.
+
+    ``phase_in`` marks the incoming tensor as 2x2 space-to-depth packed
+    (ops/s2d.py): the downsample conv then runs the phase-space rewrite
+    and emits ordinary space at its usual output resolution.
+    """
 
     filters: int
     num_blocks: int
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
     bn_momentum: float = 0.99
+    phase_in: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                   bn_momentum=self.bn_momentum)
-        x = ConvBN(self.filters, 3, strides=2, **kw)(x, train)
+        x = ConvBN(self.filters, 3, strides=2, phase_in=self.phase_in,
+                   **kw)(x, train)
         for _ in range(self.num_blocks):
             y = ConvBN(self.filters // 2, 1, **kw)(x, train)
             y = ConvBN(self.filters, 3, **kw)(y, train)
@@ -50,14 +58,22 @@ class Darknet53(nn.Module):
     bn_axis_name: str | None = None
     bn_momentum: float = 0.99
     out_channels: Tuple[int, int, int] = (256, 512, 1024)
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Taps:
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                   bn_momentum=self.bn_momentum)
         skw = kw
-        x = ConvBN(32, 3, **kw)(x, train)
-        x = _ResStage(64, 1, **skw)(x, train)
+        if self.s2d_stem:
+            # space-to-depth execution rewrite of the two high-res convs
+            # (ops/s2d.py): same params, same math, MXU-friendly shapes
+            x = space_to_depth(x, 2)
+            x = ConvBN(32, 3, phase_in=True, phase_out=True, **kw)(x, train)
+            x = _ResStage(64, 1, phase_in=True, **skw)(x, train)
+        else:
+            x = ConvBN(32, 3, **kw)(x, train)
+            x = _ResStage(64, 1, **skw)(x, train)
         x = _ResStage(128, 2, **skw)(x, train)
         c3 = x = _ResStage(256, 8, **skw)(x, train)
         c4 = x = _ResStage(512, 8, **skw)(x, train)
@@ -74,6 +90,7 @@ class _CSPStage(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
     bn_momentum: float = 0.99
+    phase_in: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -81,7 +98,8 @@ class _CSPStage(nn.Module):
                   bn_axis_name=self.bn_axis_name,
                   bn_momentum=self.bn_momentum)
         hidden = self.filters if self.first else self.filters // 2
-        x = ConvBN(self.filters, 3, strides=2, **kw)(x, train)
+        x = ConvBN(self.filters, 3, strides=2, phase_in=self.phase_in,
+                   **kw)(x, train)
         short = ConvBN(hidden, 1, **kw)(x, train)
         main = ConvBN(hidden, 1, **kw)(x, train)
         for _ in range(self.num_blocks):
@@ -106,17 +124,23 @@ class MobileDarknet(nn.Module):
     bn_axis_name: str | None = None
     bn_momentum: float = 0.99
     out_channels: Tuple[int, int, int] = (128, 256, 512)
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Taps:
         from .layers import SeparableConvBN
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                   bn_momentum=self.bn_momentum)
-        x = ConvBN(16, 3, **kw)(x, train)
+        if self.s2d_stem:
+            x = space_to_depth(x, 2)
+            x = ConvBN(16, 3, phase_in=True, phase_out=True, **kw)(x, train)
+        else:
+            x = ConvBN(16, 3, **kw)(x, train)
         taps = []
         for i, (filters, blocks) in enumerate(
                 [(32, 1), (64, 1), (128, 2), (256, 2), (512, 2)]):
-            x = ConvBN(filters, 3, strides=2, **kw)(x, train)
+            x = ConvBN(filters, 3, strides=2,
+                       phase_in=(i == 0 and self.s2d_stem), **kw)(x, train)
             for _ in range(blocks):
                 y = SeparableConvBN(filters, 3, **kw)(x, train)
                 x = x + y
@@ -133,6 +157,7 @@ class CSPDarknet53(nn.Module):
     bn_axis_name: str | None = None
     bn_momentum: float = 0.99
     out_channels: Tuple[int, int, int] = (256, 512, 1024)
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Taps:
@@ -141,8 +166,13 @@ class CSPDarknet53(nn.Module):
                   bn_momentum=self.bn_momentum)
         skw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
                    bn_momentum=self.bn_momentum)
-        x = ConvBN(32, 3, **kw)(x, train)
-        x = _CSPStage(64, 1, first=True, **skw)(x, train)
+        if self.s2d_stem:
+            x = space_to_depth(x, 2)
+            x = ConvBN(32, 3, phase_in=True, phase_out=True, **kw)(x, train)
+            x = _CSPStage(64, 1, first=True, phase_in=True, **skw)(x, train)
+        else:
+            x = ConvBN(32, 3, **kw)(x, train)
+            x = _CSPStage(64, 1, first=True, **skw)(x, train)
         x = _CSPStage(128, 2, **skw)(x, train)
         c3 = x = _CSPStage(256, 8, **skw)(x, train)
         c4 = x = _CSPStage(512, 8, **skw)(x, train)

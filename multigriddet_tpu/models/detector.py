@@ -57,10 +57,14 @@ def _head_channels(backbone) -> Tuple[int, int, int]:
 def _build(backbone_cls, num_anchors=(3, 3, 3), num_classes=80,
            use_spp=False, lite=False, dtype=jnp.float32,
            bn_axis_name=None, bn_momentum=0.99, remat=False,
-           **kwargs) -> MultiGridDet:
+           s2d_stem=None, **kwargs) -> MultiGridDet:
     bkw = dict(dtype=dtype, bn_axis_name=bn_axis_name)
     if hasattr(backbone_cls, 'bn_momentum'):
         bkw['bn_momentum'] = bn_momentum
+    if s2d_stem is not None and hasattr(backbone_cls, 's2d_stem'):
+        # space-to-depth early-stage rewrite (ops/s2d.py); backbones that
+        # support it default to True — config `model.s2d_stem` overrides
+        bkw['s2d_stem'] = s2d_stem
     if remat:
         import jax
         if remat == 'full':
@@ -108,11 +112,14 @@ def multigriddet_csp_darknet(**kwargs) -> MultiGridDet:
 @register_model('multigriddet_darknet_panet')
 def multigriddet_darknet_panet(num_anchors=(3, 3, 3), num_classes=80,
                                dtype=jnp.float32, bn_axis_name=None,
-                               bn_momentum=0.99, **kwargs) -> MultiGridDet:
+                               bn_momentum=0.99, s2d_stem=None,
+                               **kwargs) -> MultiGridDet:
     """CSPDarknet53 + PANet head (YOLOv4-style paths, compact predicts)."""
     from .head import PANetHead
     backbone = CSPDarknet53(dtype=dtype, bn_axis_name=bn_axis_name,
-                            bn_momentum=bn_momentum)
+                            bn_momentum=bn_momentum,
+                            **({} if s2d_stem is None
+                               else {'s2d_stem': s2d_stem}))
     head = PANetHead(num_anchors=tuple(num_anchors),
                      num_classes=num_classes,
                      channels=_head_channels(backbone), dtype=dtype,

@@ -38,12 +38,85 @@ _ACTS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
 }
 
 
+class _ConvKernel(nn.Module):
+    """Declares a conv kernel on the same param path/init as ``nn.Conv``.
+
+    Used by the phase-space ConvBN path so the parameter keeps its
+    CANONICAL shape (k, k, Cin, Cout) — identical tree, init stream and
+    checkpoint/porting compatibility — while the forward runs a
+    rearranged copy (ops/s2d.py).
+    """
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _PhaseBN(nn.Module):
+    """BatchNorm over a space-to-depth phase tensor with canonical params.
+
+    Input is (B, h, w, P*C) where the same logical channel c appears in P
+    spatial phases; statistics reduce over (batch, space, phase) so they
+    equal ordinary BatchNorm on the un-packed (B, 2h, 2w, C) tensor, and
+    scale/bias/mean/var keep their canonical (C,) shapes on the standard
+    flax paths ('scale', 'bias' / batch_stats 'mean', 'var').  Mirrors
+    flax.linen.BatchNorm semantics: float32 fast-variance stats, clipped
+    non-negative variance, pmean over ``axis_name``, momentum EMA updates
+    skipped during init.
+    """
+
+    features: int
+    phases: int = 4
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c, p = self.features, self.phases
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            g = x.astype(jnp.float32).reshape(*x.shape[:-1], p, c)
+            mu = jnp.mean(g, axis=(0, 1, 2, 3))
+            mu2 = jnp.mean(jnp.square(g), axis=(0, 1, 2, 3))
+            if self.axis_name is not None and not self.is_initializing():
+                mu, mu2 = jax.lax.pmean(jnp.stack([mu, mu2]), self.axis_name)
+            mean, var = mu, jnp.maximum(0.0, mu2 - jnp.square(mu))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        tile = lambda v: jnp.tile(v, p)  # noqa: E731
+        y = (x - tile(mean)) * (jax.lax.rsqrt(tile(var) + self.epsilon)
+                                * tile(scale)) + tile(bias)
+        return y.astype(self.dtype)
+
+
 class ConvBN(nn.Module):
     """Conv2D (no bias) + BatchNorm + activation — the Darknet workhorse.
 
     Stride-2 convs use Darknet's asymmetric ((1,0),(1,0)) top/left padding
     with VALID convolution instead of SAME, matching the reference
     (models/backbones/darknet.py:30-40).
+
+    ``phase_in``/``phase_out`` select the space-to-depth execution rewrite
+    (ops/s2d.py) for the early high-resolution stage: the input (and,
+    for the stem, the output) is a 2x2 space-to-depth phase tensor and the
+    conv runs with rearranged kernels whose contracting dims are 4x wider.
+    Parameters keep their canonical shapes either way.  Supported combos:
+    stem (k=3, s=1, phase_in+phase_out) and downsample (k=3, s=2,
+    phase_in only, ordinary output).
     """
 
     filters: int
@@ -54,9 +127,13 @@ class ConvBN(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     bn_axis_name: str | None = None
+    phase_in: bool = False
+    phase_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.phase_in or self.phase_out:
+            return self._phase_call(x, train)
         if self.strides == 2:
             x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))
             padding = 'VALID'
@@ -73,6 +150,34 @@ class ConvBN(nn.Module):
                          momentum=self.bn_momentum, epsilon=self.bn_epsilon,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          axis_name=self.bn_axis_name if train else None)(x)
+        return _ACTS[self.act](x)
+
+    def _phase_call(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from ..ops import s2d
+        assert self.kernel == 3 and self.phase_in, (
+            'phase mode supports the 3x3 stem (phase_in+phase_out, s=1) '
+            'and 3x3 downsample (phase_in, s=2) only')
+        cin = x.shape[-1] // 4
+        w = _ConvKernel((3, 3, cin, self.filters), name='Conv_0')()
+        if self.phase_out:
+            assert self.strides == 1
+            x = s2d.phase_stem_conv(x, w, self.dtype)
+            x = checkpoint_name(x, 'conv_out')
+            x = _PhaseBN(self.filters, momentum=self.bn_momentum,
+                         epsilon=self.bn_epsilon, dtype=self.dtype,
+                         axis_name=self.bn_axis_name if train else None,
+                         name='BatchNorm_0')(x, train)
+        else:
+            assert self.strides == 2
+            x = s2d.phase_down_conv(x, w, self.dtype)
+            x = checkpoint_name(x, 'conv_out')
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=self.bn_momentum,
+                             epsilon=self.bn_epsilon, dtype=self.dtype,
+                             param_dtype=jnp.float32,
+                             axis_name=(self.bn_axis_name if train
+                                        else None),
+                             name='BatchNorm_0')(x)
         return _ACTS[self.act](x)
 
 
