@@ -164,12 +164,22 @@ def bench_pipeline():
 
 
 def main():
+    # pipeline FIRST: its subprocess needs the TPU, and once this parent
+    # initializes its own client (first device use in bench_inference)
+    # the child's jitted aug+encode program degrades ~30-60x (measured:
+    # disk-warm 444.8 -> 7.3 samples/s).  Nothing in this process touches
+    # a device before bench_inference, so the child gets the chip cleanly.
+    pipeline = {}
+    try:
+        pipeline = bench_pipeline()
+    except Exception as exc:
+        pipeline = {'bench_pipeline_error': f'{type(exc).__name__}'}
     result = bench_inference()
-    for extra in (bench_train, bench_pipeline):
-        try:
-            result.update(extra())
-        except Exception as exc:  # keep the primary metric alive
-            result[f'{extra.__name__}_error'] = f'{type(exc).__name__}'
+    try:
+        result.update(bench_train())
+    except Exception as exc:  # keep the primary metric alive
+        result[f'bench_train_error'] = f'{type(exc).__name__}'
+    result.update(pipeline)
     print(json.dumps(result))
 
 
