@@ -13,9 +13,13 @@ These helpers are re-exported by ``multigriddet_tpu.training``.
 from .mesh import (data_parallel_sharding, image_partition_spec,
                    make_mesh, make_mesh_2d, replicate,
                    replicated_sharding, shard_batch)
+from .distributed import (is_multiprocess, is_primary, local_batch_size,
+                          maybe_initialize, put_global, shard_lines)
 
 __all__ = [
     'data_parallel_sharding', 'image_partition_spec', 'make_mesh',
     'make_mesh_2d', 'replicate',
     'replicated_sharding', 'shard_batch',
+    'is_multiprocess', 'is_primary', 'local_batch_size',
+    'maybe_initialize', 'put_global', 'shard_lines',
 ]

@@ -35,6 +35,7 @@ from ..data import MultiGridDataGenerator, load_annotation_lines
 from .checkpoint import CheckpointManager, load_params, save_params
 from .state import TrainState, count_params, create_train_state, \
     partition_optimizer
+from ..parallel import distributed as dist
 from ..parallel import image_partition_spec
 from .steps import make_eval_step, make_mesh, make_train_step
 
@@ -44,6 +45,9 @@ class MultiGridTrainer:
     def __init__(self, config: Dict[str, Any], mesh=None):
         self.config = config
         env = config.get('environment', {}) or {}
+        # multi-host: wire the coordination service BEFORE the first
+        # jax.devices() call so the mesh below spans the whole pod slice
+        dist.maybe_initialize(env.get('distributed'))
         self.compute_dtype = (jnp.bfloat16 if env.get('mixed_precision')
                               else jnp.float32)
         self.training_cfg = config.get('training', {}) or {}
@@ -79,14 +83,21 @@ class MultiGridTrainer:
     def setup_data(self):
         data_cfg = self.config.get('data', {}) or {}
         aug_cfg = dict(self.training_cfg.get('augmentation', {}) or {})
-        batch_size = int(self.training_cfg.get('batch_size', 8))
+        # training.batch_size is the GLOBAL batch; each process's
+        # generator yields its 1/process_count local shard
+        batch_size = dist.local_batch_size(
+            int(self.training_cfg.get('batch_size', 8)))
         max_boxes = int(aug_cfg.pop('max_boxes_per_image', 100))
         rescale_interval = int(aug_cfg.pop('rescale_interval', -1))
-        self.train_lines = load_annotation_lines(
-            data_cfg['train_annotation'])
+        # multi-process: seed the load-time shuffle so every process
+        # agrees on the order it is sharding (disjoint equal shards)
+        self.train_lines = dist.shard_lines(load_annotation_lines(
+            data_cfg['train_annotation'],
+            seed=0 if dist.is_multiprocess() else None))
         val_path = data_cfg.get('val_annotation')
-        self.val_lines = (load_annotation_lines(val_path, shuffle=False)
-                          if val_path and os.path.exists(val_path) else [])
+        self.val_lines = dist.shard_lines(
+            load_annotation_lines(val_path, shuffle=False)
+            if val_path and os.path.exists(val_path) else [])
         hw = tuple(self.spec['input_shape'][:2])
         loader_cfg = self.config.get('data_loader', {}) or {}
         workers = int(loader_cfg.get('num_workers', 8))
@@ -177,13 +188,19 @@ class MultiGridTrainer:
     def _run_epoch(self, state, train_step, epoch: int):
         t0 = time.time()
         agg, n = {}, 0
+        batch_spec = jax.sharding.PartitionSpec('batch')
         for images, y_true, _ in self.train_gen:
-            images = jax.device_put(
-                images, jax.sharding.NamedSharding(
-                    self.mesh, image_partition_spec(self.mesh)))
+            # put_global: plain sharded device_put single-process; the
+            # process-local shard of the global batch under multi-host
+            # (generator seeds keep multi-scale shapes in lockstep
+            # across processes, so collectives never see mixed shapes)
+            images = dist.put_global(
+                self.mesh, image_partition_spec(self.mesh), images)
+            y_true = tuple(dist.put_global(self.mesh, batch_spec, y)
+                           for y in y_true)
             state, metrics = train_step(state, images, y_true)
             n += 1
-            if n % 50 == 0 or n == 1:
+            if (n % 50 == 0 or n == 1) and dist.is_primary():
                 m = {k: float(v) for k, v in metrics.items()}
                 print(f'  epoch {epoch} step {n}/{len(self.train_gen)} '
                       f"loss={m['loss']:.4f} loc={m['location']:.4f} "
@@ -205,7 +222,8 @@ class MultiGridTrainer:
         avg = {k: v / max(n, 1) for k, v in agg.items()}
         avg['epoch_time_s'] = dt
         avg['steps'] = n
-        bsz = self.train_gen.batch_size
+        # global images (all processes), not just this host's shard
+        bsz = self.train_gen.batch_size * jax.process_count()
         avg['images_per_sec'] = n * bsz / dt if dt > 0 else 0.0
         return state, avg
 
@@ -213,10 +231,12 @@ class MultiGridTrainer:
         if self.val_gen is None:
             return {}
         agg, n = {}, 0
+        batch_spec = jax.sharding.PartitionSpec('batch')
         for images, y_true, _ in self.val_gen:
-            images = jax.device_put(
-                images, jax.sharding.NamedSharding(
-                    self.mesh, image_partition_spec(self.mesh)))
+            images = dist.put_global(
+                self.mesh, image_partition_spec(self.mesh), images)
+            y_true = tuple(dist.put_global(self.mesh, batch_spec, y)
+                           for y in y_true)
             metrics = eval_step(state, images, y_true)
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + v
@@ -301,17 +321,26 @@ class MultiGridTrainer:
                 val_m = self._run_validation(state, eval_step)
                 record = {'epoch': epoch, **train_m, **val_m}
                 self.history.append(record)
-                with open(os.path.join(log_dir, 'history.jsonl'), 'a') as f:
-                    f.write(json.dumps(record) + '\n')
-                if tb_writer is not None:
+                if dist.is_primary():
+                    # host 0 owns the log files; metrics are global
+                    # (computed over the full sharded batch), so every
+                    # process would write identical records anyway
+                    with open(os.path.join(log_dir, 'history.jsonl'),
+                              'a') as f:
+                        f.write(json.dumps(record) + '\n')
+                if tb_writer is not None and dist.is_primary():
                     for k, v in record.items():
                         if isinstance(v, (int, float)):
                             tb_writer.add_scalar(k, v, epoch)
                     tb_writer.flush()
                 monitor = val_m.get('val_loss', train_m.get('loss', 0.0))
-                print(f"epoch {epoch}: loss={train_m.get('loss', 0):.4f} "
-                      f"val_loss={val_m.get('val_loss', float('nan')):.4f} "
-                      f"({train_m.get('images_per_sec', 0):.1f} img/s)")
+                if dist.is_primary():
+                    print(f"epoch {epoch}: "
+                          f"loss={train_m.get('loss', 0):.4f} "
+                          f"val_loss="
+                          f"{val_m.get('val_loss', float('nan')):.4f} "
+                          f"({train_m.get('images_per_sec', 0):.1f} "
+                          f"img/s)")
                 save_freq = int(self.output_cfg.get('save_frequency', 1)
                                 or 1)
                 if epoch % save_freq == 0 or epoch + 1 == until_epoch:
@@ -366,16 +395,24 @@ class MultiGridTrainer:
                     'bn_momentum', self.training_cfg.get('bn_momentum',
                                                          0.99)))
             n_cal = int(self.training_cfg.get('bn_recalibrate_batches', 32))
+            # place batches globally: BN's batch-axis reductions then run
+            # as cross-device/cross-host collectives, so every process
+            # derives the SAME stats (local numpy inputs would silently
+            # diverge across hosts)
+            spec = image_partition_spec(self.mesh)
             batch_stats = calibrate_batch_stats(
                 self.model, params, batch_stats,
-                (img for img, _, _ in self.train_gen),
+                (dist.put_global(self.mesh, spec, img)
+                 for img, _, _ in self.train_gen),
                 max_batches=n_cal, bn_momentum=bn_mom)
             print(f'Recalibrated BN statistics over {n_cal} batches')
 
         final_path = os.path.join(model_dir, 'final_model.msgpack')
-        save_params(final_path, {'params': params,
-                                 'batch_stats': batch_stats})
-        print(f'Saved final model to {final_path}')
+        if dist.is_primary():
+            # params are replicated, so host 0 holds the full model
+            save_params(final_path, {'params': params,
+                                     'batch_stats': batch_stats})
+            print(f'Saved final model to {final_path}')
         if tb_writer is not None:
             tb_writer.close()
         ckpt.close()

@@ -10,8 +10,13 @@ import os
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+if '--xla_cpu_collective_call_terminate_timeout_seconds' not in flags:
+    # XLA:CPU's hardcoded 40 s collective-rendezvous abort can fire
+    # spuriously when 8 device threads timeshare this box's 1 core
+    # through an uncached compile+execute (observed on the dryrun)
+    flags += ' --xla_cpu_collective_call_terminate_timeout_seconds=600'
+os.environ['XLA_FLAGS'] = flags
 os.environ.setdefault('JAX_ENABLE_X64', '0')
 
 # The axon sitecustomize imports jax at interpreter start, so env vars set
