@@ -117,6 +117,22 @@ def main():
     assert jax.device_count() == 2 * nproc, jax.device_count()
     history = trainer.train()
 
+    # second leg: dp x spatial 2-D mesh across the same processes —
+    # batch shards across hosts, image rows shard within each host
+    # (the pod recipe for large canvases); 1 epoch, no checkpoints
+    cfg2 = dict(config)
+    cfg2['environment'] = dict(config['environment'],
+                               spatial_partition=2)
+    cfg2['training'] = dict(config['training'], epochs=1,
+                            transfer_epochs=0, bn_recalibrate=False)
+    cfg2['callbacks'] = {}
+    cfg2['output'] = {'log_dir': os.path.join(workdir, 'logs_sp'),
+                      'model_dir': os.path.join(workdir, 'models_sp')}
+    trainer_sp = MultiGridTrainer(cfg2)
+    history_sp = trainer_sp.train()
+    assert trainer_sp.mesh.shape == {'batch': 2, 'space': 2}, \
+        trainer_sp.mesh.shape
+
     out = {
         'pid': pid,
         'process_count': jax.process_count(),
@@ -126,6 +142,7 @@ def main():
         'losses': [h['loss'] for h in history],
         'val_losses': [h.get('val_loss') for h in history],
         'steps': [h['steps'] for h in history],
+        'sp_losses': [h['loss'] for h in history_sp],
     }
     with open(os.path.join(workdir, f'result_{pid}.json'), 'w') as f:
         json.dump(out, f)

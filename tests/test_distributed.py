@@ -96,6 +96,11 @@ def test_two_process_trainer(tmp_path):
     np.testing.assert_allclose(r0['val_losses'], r1['val_losses'],
                                rtol=1e-5)
     assert all(np.isfinite(v) for v in r0['losses'])
+    # dp x spatial leg: batch across processes, image rows across the
+    # devices within each process (the pod recipe for large canvases)
+    np.testing.assert_allclose(r0['sp_losses'], r1['sp_losses'],
+                               rtol=1e-5)
+    assert all(np.isfinite(v) for v in r0['sp_losses'])
     # host-0-gated outputs exist exactly once
     assert (tmp_path / 'models' / 'final_model.msgpack').exists()
     hist = (tmp_path / 'logs' / 'history.jsonl').read_text().splitlines()
