@@ -114,16 +114,20 @@ class MultiGridInference:
                 bxs, (ih, iw), self.input_hw))
         return bxs, cls, scs
 
-    def detect_batch(self, images: List[Image.Image], batch_size: int = 16):
+    def detect_batch(self, images: List[Image.Image], batch_size: int = 16,
+                     pipeline_depth: int = 4):
         """Batched detection for serving throughput.
 
         Pads to ``batch_size`` and runs the fused infer step per chunk
-        (uint8 transfer).  Returns a list of (boxes, classes, scores) in
-        each image's original pixel space.
+        (uint8 transfer).  Software-pipelined: jax dispatch is async, and
+        a chunk's results are not forced until ``pipeline_depth`` further
+        chunks are in flight — host preprocessing overlaps device
+        compute/transfers and the dispatch RTT of a tunneled device is
+        hidden (measured: depth 4 is ~1.3x depth 1 on the file path).
+        Returns a list of (boxes, classes, scores) in each image's
+        original pixel space.
         """
-        results = []
-        for start in range(0, len(images), batch_size):
-            chunk = images[start:start + batch_size]
+        def preprocess(chunk):
             batch = np.zeros((batch_size, *self.input_hw, 3), np.uint8)
             sizes = []
             for i, img in enumerate(chunk):
@@ -131,18 +135,77 @@ class MultiGridInference:
                                                self.input_hw)
                 batch[i] = arr
                 sizes.append((img.size[1], img.size[0]))
-            bxs, cls, scs, valid = self._infer(self.variables,
-                                               jnp.asarray(batch))
-            bxs, cls = np.asarray(bxs), np.asarray(cls)
-            scs, valid = np.asarray(scs), np.asarray(valid)
-            for i, (ih, iw) in enumerate(sizes):
-                keep = valid[i]
-                b, c, s = bxs[i][keep], cls[i][keep], scs[i][keep]
-                b, c, s = self._host_fuse(b, c, s)
-                if len(b):
-                    b = np.asarray(canvas_boxes_to_image(
-                        b, (ih, iw), self.input_hw))
-                results.append((b, c, s))
+            return batch, sizes
+
+        from collections import deque
+        results = []
+        pending = deque()
+        for start in range(0, len(images), batch_size):
+            batch, sizes = preprocess(images[start:start + batch_size])
+            outs = self._infer(self.variables, jnp.asarray(batch))
+            pending.append((outs, sizes))
+            if len(pending) > max(pipeline_depth, 1):
+                self._postprocess_batch(*pending.popleft(), results)
+        while pending:
+            self._postprocess_batch(*pending.popleft(), results)
+        return results
+
+    def _postprocess_batch(self, outs, sizes, results):
+        """Force one dispatched chunk and map to original pixels.
+
+        ``sizes`` rows are (orig_h, orig_w), or None for a slot whose
+        input failed to load (appends an empty result)."""
+        bxs, cls, scs, valid = (np.asarray(o) for o in outs)  # forces
+        empty = (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
+                 np.zeros((0,), np.float32))
+        for i, size in enumerate(sizes):
+            if size is None:
+                results.append(empty)
+                continue
+            keep = valid[i]
+            b, c, s = bxs[i][keep], cls[i][keep], scs[i][keep]
+            b, c, s = self._host_fuse(b, c, s)
+            if len(b):
+                b = np.asarray(canvas_boxes_to_image(
+                    b, size, self.input_hw))
+            results.append((b, c, s))
+
+    def detect_files(self, paths: List[str], batch_size: int = 16,
+                     num_workers: int = 8, pipeline_depth: int = 4):
+        """File-based batched detection on the native fast path.
+
+        The C++ loader decodes JPEGs with DCT-domain downscaling and
+        letterboxes on true OS threads (native/fastloader.cpp) straight
+        into the fused device program — no PIL in the loop.  Pipelined
+        like :meth:`detect_batch`; falls back to it when the native
+        library is unavailable.  Returns a list of (boxes, classes,
+        scores) per path in original pixels; files that fail to decode
+        yield empty results.
+        """
+        from collections import deque
+
+        from ..data.native import load_letterbox_batch, native_available
+        if not native_available():
+            return self.detect_batch([Image.open(p) for p in paths],
+                                     batch_size, pipeline_depth)
+        results = []
+        pending = deque()
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start:start + batch_size]
+            imgs, metas, ok = load_letterbox_batch(chunk, self.input_hw,
+                                                   num_workers)
+            if len(chunk) < batch_size:  # fixed shape for the jit cache
+                pad = np.zeros((batch_size - len(chunk), *self.input_hw, 3),
+                               np.uint8)
+                imgs = np.concatenate([imgs, pad], axis=0)
+            sizes = [(int(m[4]), int(m[3])) if good else None
+                     for m, good in zip(metas, ok)]
+            outs = self._infer(self.variables, jnp.asarray(imgs))
+            pending.append((outs, sizes))
+            if len(pending) > max(pipeline_depth, 1):
+                self._postprocess_batch(*pending.popleft(), results)
+        while pending:
+            self._postprocess_batch(*pending.popleft(), results)
         return results
 
     def predict_image(self, path: str, output_dir: Optional[str] = None,

@@ -95,6 +95,38 @@ def test_detect_batch_serving(config):
         assert len(b) == len(c) == len(s)
 
 
+def test_detect_files_native_path(config, tmp_path):
+    """detect_files (native C++ decode+letterbox -> fused device program)
+    agrees with the PIL detect path per file, handles the non-multiple
+    final chunk, and yields empty results for undecodable files."""
+    engine = MultiGridInference(config)
+    rng = np.random.RandomState(5)
+    paths, pil_images = [], []
+    for i in range(3):
+        img = Image.fromarray(rng.randint(0, 255, (40 + 8 * i, 64, 3))
+                              .astype('uint8'))
+        p = tmp_path / f'f{i}.jpg'
+        img.save(p, quality=95)
+        paths.append(str(p))
+        pil_images.append(Image.open(p))
+    bad = tmp_path / 'broken.jpg'
+    bad.write_bytes(b'not a jpeg')
+    paths.append(str(bad))
+
+    results = engine.detect_files(paths, batch_size=2)
+    assert len(results) == 4
+    b, c, s = results[-1]  # broken file -> empty result
+    assert len(b) == len(c) == len(s) == 0
+    pil_results = engine.detect_batch(pil_images, batch_size=2)
+    for (fb, fc, fs), (pb, pc, ps) in zip(results[:3], pil_results):
+        # same detections from either loader (same letterbox contract;
+        # JPEG decode differences shift scores only microscopically)
+        assert len(fb) == len(pb)
+        if len(fb):
+            np.testing.assert_allclose(fb, pb, atol=1.5)
+            np.testing.assert_array_equal(fc, pc)
+
+
 def test_video_mode(config, tmp_path):
     cv2 = pytest.importorskip('cv2')
     src = str(tmp_path / 'in.mp4')
