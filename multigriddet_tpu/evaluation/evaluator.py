@@ -28,7 +28,7 @@ from ..data.annotations import (load_annotation_lines,
                                 parse_annotation_line)
 from ..ops.geometry import canvas_boxes_to_image
 from ..training.checkpoint import load_params
-from ..training.steps import make_infer_step
+from ..training.steps import make_infer_step, unpack_detections
 from ..utils.visualization import draw_boxes, get_colors
 from .metrics import (COCO_IOU_THRESHOLDS, calculate_map,
                       calculate_map_reference, format_results)
@@ -89,7 +89,8 @@ class MultiGridEvaluator:
             max_boxes=self.max_detections,
             nms_backend=ev.get('nms_backend', 'xla'),
             pre_nms_top_k=int(ev.get('pre_nms_top_k', 1024)),
-            use_wbf=self.use_wbf)
+            use_wbf=self.use_wbf,
+            pack_outputs=True)  # one device->host fetch per batch
 
     def _load_annotations(self, path: str):
         lines = load_annotation_lines(path, shuffle=False)
@@ -160,13 +161,9 @@ class MultiGridEvaluator:
             batch_arr, metas = item
 
             t0 = time.time()
-            bxs, cls, scs, valid = self._infer(
-                self.variables, jnp.asarray(batch_arr))
-            jax.block_until_ready(bxs)
+            packed = self._infer(self.variables, jnp.asarray(batch_arr))
+            bxs, cls, scs, valid = unpack_detections(packed)  # one fetch
             t_infer += time.time() - t0
-
-            bxs, cls = np.asarray(bxs), np.asarray(cls)
-            scs, valid = np.asarray(scs), np.asarray(valid)
             for bi, (img_id, gt_boxes, ih, iw, raw) in enumerate(metas):
                 keep = valid[bi]
                 b, c, s = bxs[bi][keep], cls[bi][keep], scs[bi][keep]

@@ -5,6 +5,7 @@ from .checkpoint import CheckpointManager, load_params, save_params
 from .state import (TrainState, count_params, create_train_state,
                     freeze_labels, partition_optimizer)
 from .steps import (make_eval_step, make_infer_step, make_mesh,
+                    unpack_detections,
                     make_train_step, replicate, shard_batch)
 from .trainer import MultiGridTrainer
 
@@ -12,5 +13,6 @@ __all__ = [
     'calibrate_batch_stats', 'CheckpointManager', 'load_params', 'save_params', 'TrainState',
     'count_params', 'create_train_state', 'freeze_labels',
     'partition_optimizer', 'make_eval_step', 'make_infer_step', 'make_mesh',
+    'unpack_detections',
     'make_train_step', 'replicate', 'shard_batch', 'MultiGridTrainer',
 ]

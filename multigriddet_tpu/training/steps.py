@@ -109,6 +109,7 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
                     class_aware: bool = False,
                     nms_backend: str = 'xla',
                     use_wbf: bool = False,
+                    pack_outputs: bool = False,
                     mesh: Optional[Mesh] = None) -> Callable:
     """Fused forward + decode + NMS, entirely on device.
 
@@ -122,6 +123,12 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
     instead, for host-side Weighted Boxes Fusion — the reference's
     ``detection.use_wbf`` mode (inference_engine.py:126-135, WBF replaces
     NMS in handle_predictions, multigrid_decode.py:262-320).
+
+    With ``pack_outputs=True`` the four outputs come back as ONE
+    ``[B, K, 7]`` float32 array ``[x, y, w, h, class, score, valid]``
+    (``unpack_detections`` inverts it on host).  One device->host fetch
+    instead of four — on a tunneled device each fetch pays a full RTT,
+    which dominates small-batch/video serving latency.
     """
     anchors = [np.asarray(a, np.float32) for a in anchors]
     scale = jnp.asarray([input_hw[1], input_hw[0],
@@ -147,10 +154,29 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
                 k = min(pre_nms_top_k, sc.shape[0])
                 top_sc, idx = jax.lax.top_k(sc, k)
                 return bx[idx], cl[idx], top_sc, top_sc > -1e8
-            return jax.vmap(candidates)(tl, scores, classes)
-        return batched_nms(tl, scores, classes, confidence, nms_threshold,
-                           max_boxes=max_boxes, pre_nms_top_k=pre_nms_top_k,
-                           nms_method=nms_method, use_iol=use_iol,
-                           class_aware=class_aware, backend=nms_backend)
+            res = jax.vmap(candidates)(tl, scores, classes)
+        else:
+            res = batched_nms(
+                tl, scores, classes, confidence, nms_threshold,
+                max_boxes=max_boxes, pre_nms_top_k=pre_nms_top_k,
+                nms_method=nms_method, use_iol=use_iol,
+                class_aware=class_aware, backend=nms_backend)
+        if pack_outputs:
+            b, c, s, v = res
+            return jnp.concatenate(
+                [b, c[..., None].astype(jnp.float32),
+                 s[..., None].astype(jnp.float32),
+                 v[..., None].astype(jnp.float32)], axis=-1)
+        return res
 
     return jax.jit(step)
+
+
+def unpack_detections(packed: np.ndarray):
+    """Invert ``make_infer_step(pack_outputs=True)`` on host.
+
+    Returns (boxes [..., K, 4] f32, classes [..., K] i32,
+    scores [..., K] f32, valid [..., K] bool)."""
+    packed = np.asarray(packed)
+    return (packed[..., 0:4], packed[..., 4].astype(np.int32),
+            packed[..., 5], packed[..., 6] > 0.5)

@@ -248,7 +248,8 @@ def test_evaluator_max_detections_and_wbf(dataset, tmp_path):
     import jax.numpy as jnp
     pool = ev_wbf._infer(ev_wbf.variables,
                          jnp.zeros((4, 64, 64, 3), jnp.uint8))
-    assert pool[0].shape[1] == 84  # full pool, not max_detections
+    # packed [B, K, 7]: K = full candidate pool, not max_detections
+    assert pool.shape[1] == 84 and pool.shape[2] == 7
 
 
 def test_evaluator_reference_metrics_mode(dataset, tmp_path):
