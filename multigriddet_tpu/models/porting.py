@@ -48,11 +48,19 @@ def module_call_order(model, input_hw):
     import jax
     import jax.numpy as jnp
 
+    from .layers import _ConvKernel, _PhaseBN
+
     order = []
     seen = set()
 
+    # _ConvKernel/_PhaseBN are the space-to-depth path's stand-ins for
+    # nn.Conv/nn.BatchNorm on the SAME param paths (layers.py); without
+    # them the s2d stem/downsample modules fall out of the traced order
+    # and order-based matching pairs same-shaped convs wrongly.
+    conv_bn_types = (nn.Conv, nn.BatchNorm, _ConvKernel, _PhaseBN)
+
     def record(mdl, method_name):
-        if isinstance(mdl, (nn.Conv, nn.BatchNorm)):
+        if isinstance(mdl, conv_bn_types):
             path = tuple(mdl.path)
             if path not in seen:
                 seen.add(path)

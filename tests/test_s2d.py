@@ -198,3 +198,24 @@ class TestBackboneEquivalence:
             np.testing.assert_allclose(
                 a, b, rtol=2e-2, atol=2e-3,
                 err_msg=jax.tree_util.keystr(ka))
+
+
+def test_module_call_order_invariant_to_s2d():
+    """Weight porting maps Keras h5 layers to flax modules by traced
+    execution order (porting.module_call_order).  The phase path creates
+    its kernel/BN via _ConvKernel/_PhaseBN on the SAME param paths, so
+    the traced order must be IDENTICAL with s2d on or off — regression
+    for a bug where the unrecorded s2d modules fell to the end of the
+    order and two same-shaped convs in _ResStage_0 swapped weights."""
+    from multigriddet_tpu.models import create_model
+    from multigriddet_tpu.models.porting import module_call_order
+    orders = {}
+    for s2d in (True, False):
+        model = create_model('multigriddet_darknet', num_classes=4,
+                             s2d_stem=s2d)
+        orders[s2d] = module_call_order(model, (64, 64))
+    assert orders[True] == orders[False]
+    # every ConvBN contributes both its conv and its bn to the order
+    flat = ['/'.join(p) for p in orders[True]]
+    assert any(p.endswith('Conv_0') for p in flat)
+    assert any(p.endswith('BatchNorm_0') for p in flat)
