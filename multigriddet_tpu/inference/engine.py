@@ -364,7 +364,11 @@ class MultiGridInference:
                 os.makedirs(out_dir, exist_ok=True)
                 out_path = os.path.join(
                     out_dir, 'annotated_' + os.path.basename(str(source)))
-            return self.predict_video(source, out_path)
+            video_cfg = self.config.get('video', {}) or {}
+            return self.predict_video(
+                source, out_path,
+                pipeline_depth=int(video_cfg.get('pipeline_depth', 2)),
+                batch_size=int(video_cfg.get('batch_size', 8)))
         if kind == 'camera':
             cam = self.config.get('camera', {}) or {}
             return self.predict_camera(int(cam.get('device_id', 0)))

@@ -143,6 +143,27 @@ def test_video_mode(config, tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_video_config_reaches_predict_video(config, monkeypatch):
+    """run() forwards video.batch_size / video.pipeline_depth from the
+    config to predict_video (reference inference_engine.py:349-441
+    dispatches on input.type; the batching knobs are ours)."""
+    cfg = dict(config)
+    cfg['input'] = {'type': 'video', 'source': 'dummy.mp4'}
+    cfg['video'] = {'batch_size': 3, 'pipeline_depth': 1}
+    engine = MultiGridInference(cfg)
+    seen = {}
+
+    def fake(source, out_path=None, **kw):
+        seen.update(kw, source=source)
+        return 0
+
+    monkeypatch.setattr(engine, 'predict_video', fake)
+    engine.run()
+    assert seen['source'] == 'dummy.mp4'
+    assert seen['batch_size'] == 3
+    assert seen['pipeline_depth'] == 1
+
+
 def test_engine_nms_backend_and_pool_knobs(config):
     """detection.nms_backend / pre_nms_top_k reach the fused step and the
     pallas backend produces the same detections as the xla default."""
