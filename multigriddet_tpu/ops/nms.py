@@ -188,7 +188,14 @@ def batched_nms(boxes: jnp.ndarray,
                     interpret=jax.default_backend() != 'tpu')
             else:  # 'standard' | 'diou' via XLA
                 overlap = _overlap_matrix(nms_bx, nms_method, use_iol)
-                keep = _greedy_sweep(overlap, valid, nms_threshold)
+                # Cluster-NMS iteration (arXiv:2005.03572) reaches the
+                # IDENTICAL keep set as the K-step sequential greedy sweep
+                # at a fixed point of a few whole-matrix passes — far
+                # friendlier to the VPU than K tiny fori_loop steps.
+                # Measured @416 b128 K=1024: 54.4 -> 51.2 ms fused step
+                # (tools/bench_sweep_variants.py; keep-set equality is
+                # asserted there and by the recorded reference fixtures).
+                keep = _cluster_nms_sweep(overlap, valid, nms_threshold)
             keep_sc = jnp.where(keep, top_sc, NEG_INF)
 
         m = min(max_boxes, k)
