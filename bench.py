@@ -25,8 +25,7 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from multigriddet_tpu.models import create_model
-from multigriddet_tpu.ops.decode import decode_predictions
-from multigriddet_tpu.ops.nms import batched_nms
+from multigriddet_tpu.training.steps import make_infer_step
 from multigriddet_tpu.utils.anchors import DEFAULT_COCO_ANCHORS
 
 BASELINE_FPS = 30.0  # reference: GTX 1060 @608 (README.md:617)
@@ -60,17 +59,16 @@ def bench_inference():
                            jnp.zeros((1, *hw, 3), jnp.float32),
                            train=False))()
 
+    # the SHIPPED fused step (engine defaults: K=1024, diou, xla sweep)
+    step = make_infer_step(model, list(DEFAULT_COCO_ANCHORS), hw,
+                           confidence=0.1, nms_threshold=0.45,
+                           max_boxes=100, pre_nms_top_k=1024)
+
     @jax.jit
     def infer(variables, images):
-        x = images.astype(jnp.float32) / 255.0
-        outs = model.apply(variables, x, train=False)
-        dec = decode_predictions(outs, DEFAULT_COCO_ANCHORS, hw)
-        xy, wh = dec[..., 0:2], dec[..., 2:4]
-        tl = jnp.concatenate([xy - wh / 2.0, wh], axis=-1) * hw[0]
-        _, _, scores, valid = batched_nms(
-            tl, dec[..., 4], jnp.argmax(dec[..., 5:], axis=-1),
-            0.1, 0.45, max_boxes=100, pre_nms_top_k=1024)
-        # tiny host-visible reduction so timing can't skip the work
+        # step is jitted; tracing through it here inlines the whole
+        # program, so one dispatch returns a tiny host-visible reduction
+        _, _, scores, valid = step(variables, images)
         return jnp.sum(scores * valid)
 
     # two untimed calls: the first executed program in a fresh process

@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument('--nms-method', default=None,
                    choices=['standard', 'diou', 'soft', 'cluster'])
     p.add_argument('--output', default=None, help='output directory')
+    p.add_argument('--no-save', action='store_true',
+                   help='do not save output (reference infer.py:82-86)')
+    p.add_argument('--no-show', action='store_true',
+                   help='do not show output (reference infer.py:87-91)')
     return p.parse_args(argv)
 
 
@@ -58,6 +62,10 @@ def apply_overrides(config, args):
     if args.output is not None:
         config.setdefault('output', {})['output_dir'] = args.output
         config['output']['save_result'] = True
+    if args.no_save:
+        config.setdefault('output', {})['save_result'] = False
+    if args.no_show:
+        config.setdefault('output', {})['show_result'] = False
     return config
 
 

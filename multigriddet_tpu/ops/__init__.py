@@ -1,4 +1,5 @@
-from .decode import (decode_predictions, decode_scale,
+from .decode import (decode_for_nms, decode_predictions,
+                     decode_scale, decode_scale_for_nms,
                      invert_xy_activation, xy_activation)
 from .encoding import (encode_targets, encode_targets_np,
                        extract_center_gt_boxes, flatten_anchors,
@@ -11,8 +12,8 @@ from .geometry import (canvas_boxes_to_image, clip_boxes_xywh,
 from .nms import batched_nms
 
 __all__ = [
-    'decode_predictions', 'decode_scale', 'invert_xy_activation',
-    'xy_activation',
+    'decode_for_nms', 'decode_predictions', 'decode_scale',
+    'decode_scale_for_nms', 'invert_xy_activation', 'xy_activation',
     'encode_targets', 'encode_targets_np', 'extract_center_gt_boxes',
     'flatten_anchors', 'match_anchors',
     'canvas_boxes_to_image', 'clip_boxes_xywh',

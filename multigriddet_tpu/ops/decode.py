@@ -99,6 +99,76 @@ def decode_scale(prediction: jnp.ndarray,
     return out.reshape(b, gh * gw, -1)
 
 
+def decode_scale_for_nms(prediction: jnp.ndarray,
+                         anchors: jnp.ndarray,
+                         input_hw: Tuple[int, int],
+                         rescore_confidence: bool = True,
+                         use_softmax: bool = True):
+    """``decode_scale`` specialized for the fused NMS path.
+
+    The NMS chain consumes only (box, best-class id, rescored score) —
+    the ``[B, N, C]`` class-probability tensor that dominates
+    ``decode_scale``'s output bytes (C=80 of 85 channels) is reduced to
+    its max/argmax here WITHOUT being materialized: ``max(softmax(x)) ==
+    exp(max(x) - logsumexp(x))`` and ``argmax(softmax(x)) == argmax(x)``.
+    Scores match ``decode_scale`` to float rounding (reassociated
+    reductions), boxes and class ids exactly.
+
+    Returns ``(boxes [B, gh*gw, 4] cxcywh normalized, scores [B, gh*gw],
+    classes [B, gh*gw] int32)``.
+    """
+    b, gh, gw, _ = prediction.shape
+    num_anchors = anchors.shape[0]
+
+    raw_xy = prediction[..., 0:2]
+    raw_wh = prediction[..., 2:4]
+    objectness = prediction[..., 4]
+    anchor_logits = prediction[..., 5:5 + num_anchors]
+    class_logits = prediction[..., 5 + num_anchors:]
+
+    if use_softmax:
+        anchor_max = jnp.exp(jnp.max(anchor_logits, axis=-1)
+                             - jax.nn.logsumexp(anchor_logits, axis=-1))
+        class_max = jnp.exp(jnp.max(class_logits, axis=-1)
+                            - jax.nn.logsumexp(class_logits, axis=-1))
+    else:
+        anchor_max = jax.nn.sigmoid(jnp.max(anchor_logits, axis=-1))
+        class_max = jax.nn.sigmoid(jnp.max(class_logits, axis=-1))
+    classes = jnp.argmax(class_logits, axis=-1).astype(jnp.int32)
+    scores = jax.nn.sigmoid(objectness)
+    if rescore_confidence:
+        scores = scores * anchor_max * class_max
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+    cell_grid = jnp.stack([cols, rows], axis=-1)
+
+    box_xy = xy_activation(raw_xy) + cell_grid
+    box_xy = box_xy / jnp.asarray([gw, gh], jnp.float32)
+    anchor_idx = jnp.argmax(anchor_logits, axis=-1)
+    anchor_wh = anchors[anchor_idx]
+    in_wh = jnp.asarray([input_hw[1], input_hw[0]], jnp.float32)
+    box_wh = anchor_wh * jnp.exp(raw_wh) / in_wh
+
+    boxes = jnp.concatenate([box_xy, box_wh], axis=-1)
+    return (boxes.reshape(b, gh * gw, 4), scores.reshape(b, gh * gw),
+            classes.reshape(b, gh * gw))
+
+
+def decode_for_nms(predictions: Sequence[jnp.ndarray],
+                   anchors: Sequence[jnp.ndarray],
+                   input_hw: Tuple[int, int],
+                   rescore_confidence: bool = True,
+                   use_softmax: bool = True):
+    """All scales, concatenated: the fused path's compact decode."""
+    parts = [decode_scale_for_nms(pred, jnp.asarray(anc, jnp.float32),
+                                  input_hw, rescore_confidence, use_softmax)
+             for pred, anc in zip(predictions, anchors)]
+    return (jnp.concatenate([p[0] for p in parts], axis=1),
+            jnp.concatenate([p[1] for p in parts], axis=1),
+            jnp.concatenate([p[2] for p in parts], axis=1))
+
+
 def decode_predictions(predictions: Sequence[jnp.ndarray],
                        anchors: Sequence[np.ndarray],
                        input_hw: Tuple[int, int],

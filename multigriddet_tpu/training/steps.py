@@ -20,7 +20,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..losses import LossConfig, multigrid_loss
-from ..ops.decode import decode_predictions
+from ..ops.decode import decode_for_nms
 from ..ops.nms import batched_nms
 from ..parallel import (image_partition_spec, make_mesh,  # noqa: F401
                         make_mesh_2d, replicate, shard_batch)
@@ -143,11 +143,12 @@ def make_infer_step(model, anchors: Sequence[np.ndarray],
             # and normalize on device
             images = images.astype(jnp.float32) / 255.0
         outs = model.apply(variables, images, train=False)
-        dec = decode_predictions(outs, anchors, input_hw)
-        xy, wh = dec[..., 0:2], dec[..., 2:4]
+        # compact decode: max/argmax over class channels WITHOUT
+        # materializing the [B, N, C] probability tensor (C=80 of the 85
+        # output channels — pure HBM traffic the NMS chain never reads)
+        boxes, scores, classes = decode_for_nms(outs, anchors, input_hw)
+        xy, wh = boxes[..., 0:2], boxes[..., 2:4]
         tl = jnp.concatenate([xy - wh / 2.0, wh], axis=-1) * scale
-        scores = dec[..., 4]
-        classes = jnp.argmax(dec[..., 5:], axis=-1)
         if use_wbf:
             def candidates(bx, sc, cl):
                 sc = jnp.where(sc >= confidence, sc, -1e9)

@@ -43,6 +43,13 @@ def test_infer_overrides_and_type_detect(tmp_path):
     args = infer_cli.parse_args(['--input', 'x.jpg'])
     assert infer_cli.apply_overrides({}, args)['input']['type'] == 'image'
 
+    # reference flag parity: --no-save / --no-show (infer.py:82-91)
+    args = infer_cli.parse_args(['--no-save', '--no-show'])
+    cfg = infer_cli.apply_overrides({'output': {'save_result': True,
+                                                'show_result': True}}, args)
+    assert cfg['output']['save_result'] is False
+    assert cfg['output']['show_result'] is False
+
 
 def test_eval_overrides():
     args = eval_cli.parse_args([

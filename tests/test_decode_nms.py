@@ -43,6 +43,25 @@ def test_decode_matches_numpy_oracle(rng, coco_anchors):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_decode_for_nms_matches_full_decode(rng, coco_anchors):
+    """The compact fused-path decode (no [B,N,C] materialization) agrees
+    with decode_predictions on boxes (exact), class ids (exact), and
+    rescored scores (float-rounding: logsumexp vs materialized softmax)."""
+    import jax
+    from multigriddet_tpu.ops import decode_for_nms
+    preds = [rng.randn(2, gh, gw, 5 + 3 + 80).astype(np.float32) * 2
+             for gh, gw in SMALL_GRIDS]
+    full = np.asarray(jax.jit(
+        lambda ps: decode_predictions(ps, coco_anchors, INPUT_HW))(preds))
+    bx, sc, cl = jax.jit(
+        lambda ps: decode_for_nms(ps, coco_anchors, INPUT_HW))(preds)
+    np.testing.assert_array_equal(np.asarray(bx), full[..., 0:4])
+    np.testing.assert_allclose(np.asarray(sc), full[..., 4],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(cl),
+                                  np.argmax(full[..., 5:], axis=-1))
+
+
 def test_xy_activation_range():
     t = np.linspace(-100, 100, 2001).astype(np.float32)
     y = np.asarray(xy_activation(t))
