@@ -61,6 +61,17 @@ def test_decode_for_nms_matches_full_decode(rng, coco_anchors):
     np.testing.assert_array_equal(np.asarray(cl),
                                   np.argmax(full[..., 5:], axis=-1))
 
+    # non-default branches: sigmoid scoring and raw objectness
+    for kw in ({'use_softmax': False}, {'rescore_confidence': False},
+               {'use_softmax': False, 'rescore_confidence': False}):
+        full = np.asarray(jax.jit(lambda ps: decode_predictions(
+            ps, coco_anchors, INPUT_HW, **kw))(preds))
+        bx, sc, cl = jax.jit(lambda ps: decode_for_nms(
+            ps, coco_anchors, INPUT_HW, **kw))(preds)
+        np.testing.assert_array_equal(np.asarray(bx), full[..., 0:4])
+        np.testing.assert_allclose(np.asarray(sc), full[..., 4],
+                                   rtol=1e-6, atol=1e-7)
+
 
 def test_xy_activation_range():
     t = np.linspace(-100, 100, 2001).astype(np.float32)

@@ -9,7 +9,12 @@ attributes the gap by timing nested prefixes of the fused program:
   fwd_decode   — + decode_predictions + box/score/class extraction
   fwd_topk     — + confidence mask + top_k(K) candidate selection
   full         — + overlap matrix + greedy sweep + final top_k
-                 (== make_infer_step's XLA path)
+
+NOTE: this reproduces the round-3 PRE-optimization chain whose
+attribution (fwd 46.7 / +3.3 / +1.0 / +3.6 ms @416 b128 K=1024)
+motivated the cluster-sweep default and the compact decode_for_nms;
+the shipped make_infer_step now runs those instead (see
+tools/bench_sweep_variants.py for the A/B).
 
 Timing uses the same loop-serialized in-program harness as
 tools/profile_train_decompose.py (independent dispatches do not
