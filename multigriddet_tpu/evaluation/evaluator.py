@@ -57,6 +57,7 @@ class MultiGridEvaluator:
         # with max_boxes=500 (reference evaluator.py:266, 573)
         self.max_detections = int(ev.get('max_detections', 500))
         self.use_wbf = bool(ev.get('use_wbf', False))
+        self.wbf_mode = str(ev.get('wbf_mode', 'paper'))
         self.optimize_classes = bool(ev.get('optimize_classes', True))
         self.results_dir = ev.get('results_dir', 'results/evaluation')
         self.save_results = bool(ev.get('save_results', True))
@@ -170,10 +171,12 @@ class MultiGridEvaluator:
                 if self.use_wbf and len(b):
                     from ..postprocess.wbf import weighted_boxes_fusion
                     b, s, c = weighted_boxes_fusion(
-                        b, s, c, iou_thr=self.nms_threshold)
-                    b = b[:self.max_detections]
-                    s = s[:self.max_detections]
-                    c = c[:self.max_detections]
+                        b, s, c, iou_thr=self.nms_threshold,
+                        mode=self.wbf_mode)
+                    if len(b) > self.max_detections:
+                        # reference _filter_boxes: top-K by score
+                        top = np.argsort(s)[::-1][:self.max_detections]
+                        b, s, c = b[top], s[top], c[top]
                 if len(b):
                     b = np.asarray(canvas_boxes_to_image(
                         b, (ih, iw), self.input_hw))

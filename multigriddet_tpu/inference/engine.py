@@ -50,6 +50,10 @@ class MultiGridInference:
         # (inference_engine.py:126-135): device confidence filter + top-k,
         # then host-side weighted fusion of the candidate pool.
         self.use_wbf = bool(det.get('use_wbf', False))
+        # 'paper' (arXiv:1910.13302 running-average clustering) or
+        # 'reference' (exact twin of the reference's seed-box clustering,
+        # pinned to fixtures — see postprocess/wbf.py)
+        self.wbf_mode = str(det.get('wbf_mode', 'paper'))
         self._load_model()
 
     def _load_model(self):
@@ -86,10 +90,14 @@ class MultiGridInference:
         if self.use_wbf and len(boxes):
             from ..postprocess.wbf import weighted_boxes_fusion
             boxes, scores, classes = weighted_boxes_fusion(
-                boxes, scores, classes, iou_thr=self.nms_threshold)
-            boxes = boxes[:self.max_boxes]
-            classes = classes[:self.max_boxes]
-            scores = scores[:self.max_boxes]
+                boxes, scores, classes, iou_thr=self.nms_threshold,
+                mode=self.wbf_mode)
+            if len(boxes) > self.max_boxes:
+                # reference _filter_boxes (multigrid_decode.py:322-345):
+                # top-max_boxes by score ('reference' mode output is
+                # class-ordered, so an unsorted slice would be wrong)
+                top = np.argsort(scores)[::-1][:self.max_boxes]
+                boxes, classes, scores = boxes[top], classes[top], scores[top]
         return boxes, classes, scores
 
     # ------------------------------------------------------------------

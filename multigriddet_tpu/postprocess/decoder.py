@@ -28,7 +28,8 @@ class MultiGridDecoder:
                  input_hw: Tuple[int, int] = (608, 608),
                  confidence: float = 0.1, nms_threshold: float = 0.45,
                  nms_method: str = 'diou', use_iol: bool = True,
-                 use_wbf: bool = False, max_boxes: int = 100):
+                 use_wbf: bool = False, max_boxes: int = 100,
+                 wbf_mode: str = 'paper'):
         self.anchors = [np.asarray(a, np.float32) for a in anchors]
         self.num_classes = num_classes
         self.input_hw = tuple(input_hw)
@@ -37,6 +38,7 @@ class MultiGridDecoder:
         self.nms_method = nms_method
         self.use_iol = use_iol
         self.use_wbf = use_wbf
+        self.wbf_mode = wbf_mode
         self.max_boxes = max_boxes
         self._decode_nms = jax.jit(self._build())
 
@@ -80,7 +82,12 @@ class MultiGridDecoder:
         tl, classes, scores = tl[keep], classes[keep], scores[keep]
         if self.use_wbf and len(tl):
             tl, scores, classes = weighted_boxes_fusion(
-                tl, scores, classes, iou_thr=self.nms_threshold)
+                tl, scores, classes, iou_thr=self.nms_threshold,
+                mode=self.wbf_mode)
+            if len(tl) > self.max_boxes:
+                # reference _filter_boxes (multigrid_decode.py:322-345)
+                top = np.argsort(scores)[::-1][:self.max_boxes]
+                tl, scores, classes = tl[top], scores[top], classes[top]
         ih, iw = image_shape or self.input_hw
         if len(tl):
             hw = np.asarray(self.input_hw, np.float32)

@@ -228,3 +228,31 @@ def test_engine_use_wbf_changes_outputs(config):
     assert len(b2) <= eng.max_boxes
     if len(s2) > 1:
         assert (np.diff(s2) <= 1e-6).all()
+
+
+def test_engine_wbf_mode_reference(config):
+    """detection.wbf_mode='reference' selects the exact reference twin:
+    seed-box clustering instead of the running average.  On a chain
+    A~B~C (adjacent IoU above threshold, A~C below) the reference seeds
+    at the highest-score box and absorbs only direct overlaps, while the
+    paper mode's drifting representative can merge the whole chain."""
+    det = dict(config['detection'], use_wbf=True, nms_threshold=0.3,
+               confidence_threshold=0.01)
+    eng_ref = MultiGridInference(dict(config, detection=dict(
+        det, wbf_mode='reference')))
+    eng_pap = MultiGridInference(dict(config, detection=dict(det)))
+    assert eng_ref.wbf_mode == 'reference' and eng_pap.wbf_mode == 'paper'
+    # top score in the middle of a chain: A(x=0, 0.8) B(x=50, 0.9)
+    # C(x=95, 0.7); IoU(B,A)=0.333, IoU(B,C)=0.379, IoU(A,C)=0.026
+    boxes = np.asarray([[0, 100, 100, 80], [50, 100, 100, 80],
+                        [95, 100, 100, 80], [300, 100, 100, 80],
+                        [330, 100, 100, 80]], np.float32)
+    scores = np.asarray([0.8, 0.9, 0.7, 0.6, 0.5], np.float32)
+    classes = np.zeros(5, np.int32)
+    rb, rc, rs = eng_ref._host_fuse(boxes, classes, scores)
+    pb, pc, ps = eng_pap._host_fuse(boxes, classes, scores)
+    # reference seeds at B and absorbs BOTH neighbors -> {A,B,C} + {D,E};
+    # paper's representative drifts toward A after the first join and
+    # rejects C (IoU 0.187 < 0.3) -> {A,B}, {C}, {D,E}
+    assert len(rb) == 2
+    assert len(pb) == 3

@@ -248,3 +248,69 @@ class TestPhotometricParity:
             np.testing.assert_allclose(
                 np.asarray(mine), photo_fix[name], atol=0.01,
                 err_msg=f'{name} diverges from tf.image (0-255 scale)')
+
+
+class TestWbfParity:
+    """Pins postprocess.wbf mode='reference' to recordings of the
+    reference's own WeightedBoxesFusion (reference wbf.py:11-290) —
+    tools/record_reference_fixtures.py::record_wbf."""
+
+    SCENARIOS = ['clustered', 'maxconf', 'chain', 'ties', 'skipthr',
+                 'ensemble', 'allskip']
+
+    @pytest.fixture(scope='class')
+    def wbf_fix(self):
+        return np.load(os.path.join(FIX, 'wbf.npz'))
+
+    @pytest.fixture(scope='class')
+    def wbf_cfg(self):
+        import json
+        with open(os.path.join(FIX, 'wbf_configs.json')) as f:
+            return json.load(f)
+
+    @pytest.mark.parametrize('name', SCENARIOS)
+    def test_exact_fusion(self, wbf_fix, wbf_cfg, name):
+        from multigriddet_tpu.postprocess.wbf import weighted_boxes_fusion
+        kw = wbf_cfg[name]
+        models = (wbf_fix[f'{name}_in_models']
+                  if f'{name}_in_models' in wbf_fix else None)
+        fb, fs, fc = weighted_boxes_fusion(
+            wbf_fix[f'{name}_in_boxes'], wbf_fix[f'{name}_in_scores'],
+            wbf_fix[f'{name}_in_classes'], iou_thr=kw['iou_thr'],
+            score_thr=kw.get('skip_box_thr', 0.0),
+            conf_type=kw.get('conf_type', 'avg'), mode='reference',
+            models=models, model_weights=kw.get('weights'))
+        # raw fuse_boxes order (class-ascending, cluster creation order)
+        np.testing.assert_allclose(fb, wbf_fix[f'{name}_boxes'],
+                                   atol=1e-4, err_msg=name)
+        np.testing.assert_array_equal(fc, wbf_fix[f'{name}_classes'],
+                                      err_msg=name)
+        np.testing.assert_allclose(fs, wbf_fix[f'{name}_scores'],
+                                   atol=1e-6, err_msg=name)
+
+    def test_paper_mode_divergence_is_bounded(self, wbf_fix, wbf_cfg):
+        """The default 'paper' mode (running-average clustering, sorted
+        output) may cluster chained overlaps differently; on every
+        recorded scenario except the adversarial 'chain' it fuses to the
+        same detection set (compared order-insensitively)."""
+        from multigriddet_tpu.postprocess.wbf import weighted_boxes_fusion
+        for name in self.SCENARIOS:
+            if name == 'chain':
+                continue
+            kw = wbf_cfg[name]
+            models = (wbf_fix[f'{name}_in_models']
+                      if f'{name}_in_models' in wbf_fix else None)
+            fb, fs, fc = weighted_boxes_fusion(
+                wbf_fix[f'{name}_in_boxes'], wbf_fix[f'{name}_in_scores'],
+                wbf_fix[f'{name}_in_classes'], iou_thr=kw['iou_thr'],
+                score_thr=kw.get('skip_box_thr', 0.0),
+                conf_type=kw.get('conf_type', 'avg'), mode='paper',
+                models=models, model_weights=kw.get('weights'))
+            rb, rs = wbf_fix[f'{name}_boxes'], wbf_fix[f'{name}_scores']
+            assert len(fb) == len(rb), name
+            mo = np.lexsort((fs, fb[:, 1], fb[:, 0]))
+            ro = np.lexsort((rs, rb[:, 1], rb[:, 0]))
+            np.testing.assert_allclose(fb[mo], rb[ro], atol=1e-3,
+                                       err_msg=name)
+            np.testing.assert_allclose(fs[mo], rs[ro], atol=1e-4,
+                                       err_msg=name)

@@ -245,6 +245,114 @@ def record_nms(rng):
     np.savez_compressed(os.path.join(OUT_DIR, 'nms.npz'), **out)
 
 
+def make_wbf_scenarios(rng):
+    """Synthetic detection sets for pinning WeightedBoxesFusion
+    (reference postprocess/wbf.py:11-290).
+
+    Boxes are top-left xywh in pixels on a 416x416 canvas.  Each scenario
+    is (boxes, classes, scores, models, kwargs):
+
+    * clustered — the NMS-style clustered set: 8 Gaussian clusters, 3
+      classes; the bread-and-butter single-model case (conf_type 'avg').
+    * maxconf   — same set with conf_type='max'.
+    * chain     — a chain of partial overlaps (A~B, B~C, but not A~C at
+      the threshold): exposes the seed-vs-running-average clustering
+      difference between the reference and the paper formulation.
+    * ties      — exact duplicate scores: pins the reference's
+      np.argsort(scores)[::-1] tie ordering.
+    * skipthr   — skip_box_thr=0.3 drops the tail before clustering.
+    * ensemble  — two models with weights [2.0, 1.0] and
+      conf_type='box_and_model_avg' through the multi-list API.
+    * allskip   — every score below skip_box_thr: the empty return path.
+    """
+    scen = {}
+    n = 40
+    centers = rng.uniform(40, 360, (8, 2))
+    idx = rng.integers(0, 8, n)
+    xy = centers[idx] + rng.normal(0, 6, (n, 2))
+    wh = rng.uniform(20, 90, (n, 2))
+    boxes = np.concatenate([xy - wh / 2, wh], -1).astype(np.float32)
+    classes = (idx % 3).astype(np.int64)
+    scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+    scen['clustered'] = (boxes, classes, scores, None,
+                         dict(iou_thr=0.55, skip_box_thr=0.0,
+                              conf_type='avg'))
+    scen['maxconf'] = (boxes, classes, scores, None,
+                       dict(iou_thr=0.55, skip_box_thr=0.0,
+                            conf_type='max'))
+    # chain with the TOP score in the middle: the reference seeds at B
+    # (x=50) and absorbs both A (IoU 0.333) and C (IoU 0.379) into ONE
+    # cluster; the paper mode's representative drifts toward A after the
+    # first join ([26.5, 126.5]) and then rejects C (IoU 0.187 < 0.3),
+    # yielding TWO clusters — the modes genuinely diverge here.
+    cb = np.asarray([[0.0, 100.0, 100.0, 80.0],
+                     [50.0, 100.0, 100.0, 80.0],
+                     [95.0, 100.0, 100.0, 80.0],
+                     [300.0, 100.0, 100.0, 80.0],
+                     [330.0, 100.0, 100.0, 80.0]], np.float32)
+    cs = np.asarray([0.8, 0.9, 0.7, 0.6, 0.5], np.float32)
+    scen['chain'] = (cb, np.zeros(5, np.int64), cs, None,
+                     dict(iou_thr=0.3, skip_box_thr=0.0, conf_type='avg'))
+    tb = np.asarray([[50, 50, 60, 60], [55, 52, 62, 58], [52, 48, 58, 64],
+                     [200, 200, 40, 40], [204, 198, 44, 38]], np.float32)
+    scen['ties'] = (tb, np.zeros(5, np.int64),
+                    np.asarray([0.7, 0.7, 0.7, 0.5, 0.5], np.float32),
+                    None,
+                    dict(iou_thr=0.4, skip_box_thr=0.0, conf_type='avg'))
+    scen['skipthr'] = (boxes, classes, scores, None,
+                       dict(iou_thr=0.55, skip_box_thr=0.3,
+                            conf_type='avg'))
+    models = (rng.uniform(size=n) < 0.5).astype(np.int64)
+    scen['ensemble'] = (boxes, classes, scores, models,
+                        dict(iou_thr=0.55, skip_box_thr=0.0,
+                             conf_type='box_and_model_avg',
+                             weights=[2.0, 1.0]))
+    scen['allskip'] = (boxes[:4], classes[:4],
+                       np.full(4, 0.1, np.float32), None,
+                       dict(iou_thr=0.55, skip_box_thr=0.5,
+                            conf_type='avg'))
+    return scen
+
+
+def record_wbf(rng):
+    """Run the reference's WeightedBoxesFusion on the scenarios."""
+    from multigriddet.postprocess.wbf import WeightedBoxesFusion
+    out = {}
+    meta = {}
+    for name, (boxes, classes, scores, models, kw) in \
+            make_wbf_scenarios(rng).items():
+        weights = kw.pop('weights', None)
+        wbf = WeightedBoxesFusion(**kw)
+        if models is None:
+            blist, clist, slist = [boxes], [classes], [scores]
+        else:
+            blist = [boxes[models == m] for m in range(2)]
+            clist = [classes[models == m] for m in range(2)]
+            slist = [scores[models == m] for m in range(2)]
+        fb, fc, fs = wbf.fuse_boxes(blist, clist, slist, (416, 416),
+                                    weights=weights)
+        fb = (np.concatenate(fb) if len(fb)
+              else np.zeros((0, 4))).astype(np.float32)
+        fc = (np.concatenate(fc) if len(fc)
+              else np.zeros((0,))).astype(np.int32)
+        fs = (np.concatenate(fs) if len(fs)
+              else np.zeros((0,))).astype(np.float32)
+        out[f'{name}_in_boxes'] = boxes
+        out[f'{name}_in_classes'] = classes.astype(np.int32)
+        out[f'{name}_in_scores'] = scores
+        if models is not None:
+            out[f'{name}_in_models'] = models.astype(np.int32)
+        out[f'{name}_boxes'] = fb
+        out[f'{name}_classes'] = fc
+        out[f'{name}_scores'] = fs
+        kw['weights'] = weights
+        meta[name] = {k: v for k, v in kw.items() if v is not None}
+        print(f'  wbf[{name}]: {len(boxes)} in -> {len(fb)} fused')
+    np.savez_compressed(os.path.join(OUT_DIR, 'wbf.npz'), **out)
+    with open(os.path.join(OUT_DIR, 'wbf_configs.json'), 'w') as f:
+        json.dump(meta, f, indent=1)
+
+
 def record_photometric(rng):
     """Deterministic cores of generators.py:260-344 (tf.image.adjust_*)."""
     img = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
@@ -402,6 +510,13 @@ def main():
         record_map()
         print('done ->', OUT_DIR)
         return
+    if 'wbf' in sys.argv[1:]:
+        print('recording WBF fixtures only...')
+        # dedicated stream: must not perturb the shared rng sequence the
+        # other stages consume (their fixtures are already committed)
+        record_wbf(np.random.default_rng(20260818))
+        print('done ->', OUT_DIR)
+        return
     tf.random.set_seed(0)
     rng = np.random.default_rng(20260816)
 
@@ -417,6 +532,8 @@ def main():
     record_nms(rng)
     print('recording photometric fixtures...')
     record_photometric(rng)
+    print('recording wbf fixtures...')
+    record_wbf(np.random.default_rng(20260818))
     print('recording mAP fixtures...')
     record_map()
 
