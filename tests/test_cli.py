@@ -82,3 +82,23 @@ def test_all_config_examples_load():
                 else 'eval' if name.startswith('eval') else 'infer')
         cfg = load_config(p, config_type=kind)
         assert cfg['model']['preset']['architecture']
+
+
+def test_get_model_info_schema():
+    """get_model_info mirrors the reference's return schema
+    (reference config/model_builder.py:302-330) for both model types."""
+    from multigriddet_tpu.config import get_model_info
+    info = get_model_info({'model': {
+        'name': 'm', 'type': 'preset',
+        'preset': {'architecture': 'multigriddet_darknet',
+                   'num_classes': 4, 'input_shape': [416, 416, 3]}}})
+    assert info == {'name': 'm', 'type': 'preset',
+                    'architecture': 'multigriddet_darknet',
+                    'num_classes': 4, 'input_shape': (416, 416, 3),
+                    'num_anchors_per_head': [3, 3, 3]}
+    info = get_model_info({'model': {'type': 'custom', 'custom': {
+        'backbone': {'type': 'darknet53'}, 'neck': {'type': 'multigrid_fpn'},
+        'head': {'type': 'multigrid', 'num_classes': 7}}}})
+    assert info['architecture'] == 'custom_darknet53_multigrid_fpn_multigrid'
+    assert info['num_classes'] == 7
+    assert info['input_shape'] == (608, 608, 3)
