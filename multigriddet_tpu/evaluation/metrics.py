@@ -313,47 +313,122 @@ def _iou_center_misread_pair(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / union) if union > 0 else 0.0
 
 
-def _ref_match_class(preds, gts, iou_threshold: float, cached: bool):
-    """Greedy global-confidence matching for one class.
+def _iou_rows_xyxy(box: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`_iou_xyxy_pair` of one box vs [G,4] gts.
 
-    ``preds``: list of (image_id, xyxy box, score); ``gts``: list of
-    (image_id, xyxy box).  Returns (tp, fp, sorted scores) exactly like the
-    reference match_predictions_to_gt[_cached] (metrics.py:73-218).
-    """
-    scores = np.array([p[2] for p in preds])
-    order = np.argsort(scores)[::-1]
-    tp = np.zeros(len(preds), bool)
-    fp = np.zeros(len(preds), bool)
-    matched = set()
-    for i, pi in enumerate(order):
-        img_id, box, _ = preds[pi]
-        cands = [j for j, g in enumerate(gts)
-                 if g[0] == img_id and j not in matched]
-        if not cands:
+    Same float64 IEEE operations in the same order as the scalar pair
+    function, so the values are bit-identical."""
+    ix1 = np.maximum(box[0], gts[:, 0])
+    iy1 = np.maximum(box[1], gts[:, 1])
+    ix2 = np.minimum(box[2], gts[:, 2])
+    iy2 = np.minimum(box[3], gts[:, 3])
+    inter = np.maximum(0.0, ix2 - ix1) * np.maximum(0.0, iy2 - iy1)
+    union = ((box[2] - box[0]) * (box[3] - box[1])
+             + (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) - inter)
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+
+
+def _iou_rows_center_misread(box: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`_iou_center_misread_pair` of one box vs [G,4]."""
+    ax1, ay1 = box[0] - box[2] / 2, box[1] - box[3] / 2
+    ax2, ay2 = box[0] + box[2] / 2, box[1] + box[3] / 2
+    gx1, gy1 = gts[:, 0] - gts[:, 2] / 2, gts[:, 1] - gts[:, 3] / 2
+    gx2, gy2 = gts[:, 0] + gts[:, 2] / 2, gts[:, 1] + gts[:, 3] / 2
+    ix1, iy1 = np.maximum(ax1, gx1), np.maximum(ay1, gy1)
+    ix2, iy2 = np.minimum(ax2, gx2), np.minimum(ay2, gy2)
+    empty = (ix2 <= ix1) | (iy2 <= iy1)
+    inter = (ix2 - ix1) * (iy2 - iy1)
+    union = box[2] * box[3] + gts[:, 2] * gts[:, 3] - inter
+    ok = ~empty & (union > 0)
+    return np.where(ok, inter / np.where(ok, union, 1.0), 0.0)
+
+
+class _ClassMatchCache:
+    """Per-class matching geometry computed ONCE and reused across the IoU
+    threshold grid.  The reference recomputes every pairwise IoU per
+    threshold (and the naive twin did too — O(P*G) scalar Python per
+    threshold); the candidate IoU rows don't depend on the threshold, so
+    caching them changes the complexity, not the results."""
+
+    def __init__(self, preds, gts):
+        self.preds = preds
+        self.n = len(preds)
+        scores = np.array([p[2] for p in preds])
+        self.order = np.argsort(scores)[::-1]
+        self.sorted_scores = scores[self.order]
+        # gts grouped by image; local order == global index order, which is
+        # what the reference's candidate scan iterates in
+        self.gt_count: Dict = {}
+        gt_rows: Dict = {}
+        for img_id, box in gts:
+            gt_rows.setdefault(img_id, []).append(box)
+        self.gt_boxes = {img: np.asarray(rows, np.float64)
+                         for img, rows in gt_rows.items()}
+        self.gt_count = {img: len(rows) for img, rows in gt_rows.items()}
+        self._rows: Dict = {}
+
+    def row(self, pi: int, cached: bool) -> np.ndarray:
+        key = (pi, cached)
+        r = self._rows.get(key)
+        if r is None:
+            img_id, box, _ = self.preds[pi]
+            g = self.gt_boxes[img_id]
+            r = (_iou_rows_xyxy(box, g) if cached
+                 else _iou_rows_center_misread(box, g))
+            self._rows[key] = r
+        return r
+
+    def fresh_taken(self) -> Dict:
+        return {img: np.zeros(n, bool) for img, n in self.gt_count.items()}
+
+
+def _ref_match_cached(cache: '_ClassMatchCache', iou_threshold: float,
+                      cached: bool):
+    """Greedy global-confidence matching for one class, exactly like the
+    reference match_predictions_to_gt[_cached] (metrics.py:73-218):
+
+    - cached path: strict-> accumulation from 0.0 over untaken same-image
+      gts in index order (first max wins; an all-zero row never matches),
+      correct xyxy IoU;
+    - uncached path: argmax (first max wins, zero rows CAN match at
+      threshold 0), center-misread IoU.
+
+    Returns (tp, fp, sorted scores)."""
+    tp = np.zeros(cache.n, bool)
+    fp = np.zeros(cache.n, bool)
+    taken = cache.fresh_taken()
+    for i, pi in enumerate(cache.order):
+        img_id = cache.preds[pi][0]
+        t = taken.get(img_id)
+        if t is None or t.all():
             fp[i] = True
             continue
+        row = cache.row(pi, cached)
         if cached:
-            # cached path: strict-> accumulation from 0.0, correct xyxy IoU
-            best_iou, best_j = 0.0, None
-            for j in cands:
-                iou = _iou_xyxy_pair(box, gts[j][1])
-                if iou > best_iou:
-                    best_iou, best_j = iou, j
-            if best_iou >= iou_threshold and best_j is not None:
+            masked = np.where(t, -1.0, row)
+            k = int(np.argmax(masked))
+            if masked[k] > 0.0 and masked[k] >= iou_threshold:
                 tp[i] = True
-                matched.add(best_j)
+                t[k] = True
             else:
                 fp[i] = True
         else:
-            # uncached path: argmax (first max wins), center-misread IoU
-            ious = [_iou_center_misread_pair(box, gts[j][1]) for j in cands]
-            k = int(np.argmax(ious))
-            if ious[k] >= iou_threshold:
+            masked = np.where(t, -np.inf, row)
+            k = int(np.argmax(masked))
+            if masked[k] >= iou_threshold:
                 tp[i] = True
-                matched.add(cands[k])
+                t[k] = True
             else:
                 fp[i] = True
-    return tp, fp, scores[order]
+    return tp, fp, cache.sorted_scores
+
+
+def _ref_match_class(preds, gts, iou_threshold: float, cached: bool):
+    """One-shot wrapper over :func:`_ref_match_cached` (kept for direct
+    single-threshold use; ``preds``: list of (image_id, xyxy box, score),
+    ``gts``: list of (image_id, xyxy box))."""
+    return _ref_match_cached(_ClassMatchCache(preds, gts), iou_threshold,
+                             cached)
 
 
 def _ref_average_precision(precisions: np.ndarray, recalls: np.ndarray,
@@ -376,13 +451,19 @@ def _ref_average_precision(precisions: np.ndarray, recalls: np.ndarray,
 
 
 def _ref_class_ap(preds, gts, iou_threshold: float, method: str,
-                  cached: bool) -> float:
-    """Reference calculate_ap_for_class[_cached] (metrics.py:307-390)."""
+                  cached: bool, cache: Optional[_ClassMatchCache] = None
+                  ) -> float:
+    """Reference calculate_ap_for_class[_cached] (metrics.py:307-390).
+
+    Pass ``cache`` (built once per class) when evaluating several
+    thresholds — the pairwise IoUs are threshold-independent."""
     if not preds:
         return 0.0 if gts else 1.0
     if not gts:
         return 0.0
-    tp, fp, _ = _ref_match_class(preds, gts, iou_threshold, cached)
+    if cache is None:
+        cache = _ClassMatchCache(preds, gts)
+    tp, fp, _ = _ref_match_cached(cache, iou_threshold, cached)
     ct, cf = np.cumsum(tp), np.cumsum(fp)
     precisions = ct / (ct + cf + 1e-8)
     recalls = ct / (len(gts) + 1e-8)
@@ -420,8 +501,10 @@ def calculate_map_reference(predictions: Dict, ground_truths: Dict,
 
     Same inputs as ``calculate_map``; returns the reference's result schema
     (mAP/mAP50/mAP75, per_class with AP{t:.2f} keys, per_iou, APS/APM/APL
-    + *50 variants).  Pinned to recorded reference fixtures in
-    tests/test_metrics_parity.py.
+    + *50 variants) plus native-schema aliases (per_class_ap,
+    mAP_small/medium/large) so ``format_results`` and the plot helpers
+    render either mode (PR curves are native-mode only).  Pinned to
+    recorded reference fixtures in tests/test_metrics_parity.py.
     """
     iou_thresholds = list(iou_thresholds)
     names = list(class_names) if class_names else [
@@ -439,18 +522,25 @@ def calculate_map_reference(predictions: Dict, ground_truths: Dict,
         'num_ground_truths': sum(len(v) for v in gts_by_class.values()),
     }
     iou_aps = {t: [] for t in iou_thresholds}
+    results['per_class_ap'] = {}  # native-schema alias for format/plots
     for c in active:
         preds = preds_by_class.get(c, [])
         gts = gts_by_class.get(c, [])
+        cache = _ClassMatchCache(preds, gts) if preds and gts else None
         per_thr = {}
         for t in iou_thresholds:
             ap = _ref_class_ap(preds, gts, t, interpolation_method,
-                               cached=cache_ious)
+                               cached=cache_ious, cache=cache)
             per_thr[f'AP{t:.2f}'] = ap
             iou_aps[t].append(ap)
         per_thr['AP'] = float(np.mean(list(per_thr.values())))
         name = names[c] if c < len(names) else f'class_{c}'
         results['per_class'][name] = per_thr
+        results['per_class_ap'][name] = {
+            'ap': per_thr['AP'],
+            'ap50': per_thr.get('AP0.50', 0.0),
+            'count': len(gts),
+        }
     for t in iou_thresholds:
         if iou_aps[t]:
             results['per_iou'][f'mAP{t:.2f}'] = float(np.mean(iou_aps[t]))
@@ -482,6 +572,10 @@ def calculate_map_reference(predictions: Dict, ground_truths: Dict,
     else:
         for key in ('APS', 'APM', 'APL'):
             results[key] = results[key + '50'] = 0.0
+    # native-schema aliases so format_results / the plot helpers render
+    # reference-mode results too
+    for key, size in (('APS', 'small'), ('APM', 'medium'), ('APL', 'large')):
+        results[f'mAP_{size}'] = results[key]
     return results
 
 

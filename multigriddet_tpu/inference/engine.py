@@ -152,7 +152,7 @@ class MultiGridInference:
             batch, sizes = preprocess(images[start:start + batch_size])
             outs = self._infer(self.variables, jnp.asarray(batch))
             pending.append((outs, sizes))
-            if len(pending) > max(pipeline_depth, 1):
+            if len(pending) > max(pipeline_depth, 0):
                 self._postprocess_batch(*pending.popleft(), results)
         while pending:
             self._postprocess_batch(*pending.popleft(), results)
@@ -194,8 +194,21 @@ class MultiGridInference:
 
         from ..data.native import load_letterbox_batch, native_available
         if not native_available():
-            return self.detect_batch([Image.open(p) for p in paths],
-                                     batch_size, pipeline_depth)
+            empty = (np.zeros((0, 4), np.float32),
+                     np.zeros((0,), np.int32), np.zeros((0,), np.float32))
+            imgs, good_idx = [], []
+            for i, p in enumerate(paths):
+                try:
+                    with Image.open(p) as im:
+                        imgs.append(im.convert('RGB'))
+                    good_idx.append(i)
+                except Exception:
+                    pass  # unreadable/corrupt file -> empty result slot
+            good = self.detect_batch(imgs, batch_size, pipeline_depth)
+            fallback_results = [empty] * len(paths)
+            for i, r in zip(good_idx, good):
+                fallback_results[i] = r
+            return fallback_results
         results = []
         pending = deque()
         for start in range(0, len(paths), batch_size):
@@ -210,7 +223,7 @@ class MultiGridInference:
                      for m, good in zip(metas, ok)]
             outs = self._infer(self.variables, jnp.asarray(imgs))
             pending.append((outs, sizes))
-            if len(pending) > max(pipeline_depth, 1):
+            if len(pending) > max(pipeline_depth, 0):
                 self._postprocess_batch(*pending.popleft(), results)
         while pending:
             self._postprocess_batch(*pending.popleft(), results)
@@ -283,9 +296,15 @@ class MultiGridInference:
         rgbs: list = []
 
         def dispatch():
+            nonlocal batch
             pending.append((self._infer(self.variables, jnp.asarray(batch)),
                             list(rgbs)))
             rgbs.clear()
+            # jnp.asarray's host->device copy is async (and may alias the
+            # numpy memory on CPU backends): the dispatched chunk must keep
+            # its own buffer — writing the next chunk into it would race
+            # the in-flight transfer.
+            batch = np.zeros((batch_size, *self.input_hw, 3), np.uint8)
 
         def flush_one():
             nonlocal stop

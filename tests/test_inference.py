@@ -256,3 +256,81 @@ def test_engine_wbf_mode_reference(config):
     # rejects C (IoU 0.187 < 0.3) -> {A,B}, {C}, {D,E}
     assert len(rb) == 2
     assert len(pb) == 3
+
+
+def test_detect_files_pil_fallback_bad_files(config, tmp_path, monkeypatch):
+    """Without the native loader, detect_files must keep its contract:
+    one result per path, empty results for unreadable/corrupt files
+    (instead of raising on the first bad path)."""
+    import multigriddet_tpu.data.native as native_mod
+    monkeypatch.setattr(native_mod, 'native_available', lambda: False)
+    engine = MultiGridInference(config)
+    rng = np.random.RandomState(9)
+    good = tmp_path / 'good.jpg'
+    Image.fromarray(rng.randint(0, 255, (40, 64, 3))
+                    .astype('uint8')).save(good)
+    corrupt = tmp_path / 'corrupt.jpg'
+    corrupt.write_bytes(b'not a jpeg')
+    missing = tmp_path / 'missing.jpg'
+    paths = [str(corrupt), str(good), str(missing)]
+    results = engine.detect_files(paths, batch_size=2)
+    assert len(results) == 3
+    for idx in (0, 2):
+        b, c, s = results[idx]
+        assert len(b) == len(c) == len(s) == 0
+    gb, gc, gs = results[1]
+    pb, pc, ps = engine.detect(Image.open(good))
+    assert len(gb) == len(pb)
+    if len(gb):
+        np.testing.assert_allclose(gb, pb, atol=1e-4)
+
+
+def test_detect_batch_depth_zero_is_synchronous(config):
+    """pipeline_depth=0 keeps nothing in flight (matching predict_video's
+    semantics for the same knob) and yields identical results."""
+    engine = MultiGridInference(config)
+    rng = np.random.RandomState(11)
+    imgs = [Image.fromarray(rng.randint(0, 255, (40, 64, 3))
+                            .astype('uint8')) for _ in range(3)]
+    sync = engine.detect_batch(imgs, batch_size=2, pipeline_depth=0)
+    deep = engine.detect_batch(imgs, batch_size=2, pipeline_depth=4)
+    assert len(sync) == len(deep) == 3
+    for (sb, sc, ss), (db, dc, ds) in zip(sync, deep):
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(db))
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(dc))
+
+
+def test_video_pipelining_frame_integrity(config, tmp_path, monkeypatch):
+    """Pipelined video chunks must not share the staging buffer with
+    in-flight transfers: per-frame detections with pipeline_depth=2 must
+    equal the synchronous depth-0 run (same batch size, so identical
+    numerics).  On the CPU backend jnp.asarray can alias numpy memory, so
+    a reused buffer shows up as torn frames here."""
+    cv2 = pytest.importorskip('cv2')
+    src = str(tmp_path / 'in.mp4')
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*'mp4v'), 5, (64, 48))
+    rng = np.random.RandomState(6)
+    for _ in range(6):
+        w.write(rng.randint(0, 255, (48, 64, 3)).astype('uint8'))
+    w.release()
+    engine = MultiGridInference(config)
+    orig_fuse = engine._host_fuse
+    collected = []
+
+    def spy(boxes, classes, scores):
+        collected.append((np.array(boxes), np.array(classes),
+                          np.array(scores)))
+        return orig_fuse(boxes, classes, scores)
+
+    monkeypatch.setattr(engine, '_host_fuse', spy)
+    runs = []
+    for depth in (0, 2):
+        collected.clear()
+        engine.predict_video(src, str(tmp_path / f'o{depth}.mp4'),
+                             pipeline_depth=depth, batch_size=2)
+        runs.append(list(collected))
+    assert len(runs[0]) == len(runs[1]) == 6
+    for (b0, c0, s0), (b1, c1, s1) in zip(*runs):
+        np.testing.assert_allclose(b0, b1)
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_allclose(s0, s1)

@@ -121,3 +121,33 @@ def test_pred_only_class_counts_in_reference_mean(recorded):
     active = [v for v in per_class.values()]
     assert res['mAP50'] == pytest.approx(
         np.mean([v['AP0.50'] for v in active]))
+
+
+def test_reference_mode_renders_native_schema():
+    """calculate_map_reference results must render through format_results
+    and the plot helpers: native-schema aliases (per_class_ap with
+    ap/ap50/count, mAP_small/medium/large) are populated."""
+    from multigriddet_tpu.evaluation.metrics import format_results
+    rng = np.random.RandomState(0)
+    predictions, ground_truths = {}, {}
+    for img in range(3):
+        gb = np.abs(rng.randn(4, 4)) * 40 + 5
+        ground_truths[img] = {'boxes': gb.astype(np.float32),
+                              'classes': np.array([0, 0, 1, 2])}
+        pb = gb + rng.randn(4, 4) * 2
+        predictions[img] = {'boxes': pb.astype(np.float32),
+                            'classes': np.array([0, 0, 1, 2]),
+                            'scores': rng.uniform(0.3, 1, 4)
+                            .astype(np.float32)}
+    res = calculate_map_reference(predictions, ground_truths, 3,
+                                  class_names=['a', 'b', 'c'])
+    assert set(res['per_class_ap']) == set(res['per_class'])
+    for name, info in res['per_class_ap'].items():
+        assert info['ap'] == res['per_class'][name]['AP']
+        assert info['ap50'] == res['per_class'][name]['AP0.50']
+        assert info['count'] > 0
+    for size, key in (('small', 'APS'), ('medium', 'APM'),
+                      ('large', 'APL')):
+        assert res[f'mAP_{size}'] == res[key]
+    text = format_results(res)
+    assert 'a' in text and 'AP-S' in text  # class table + size lines
