@@ -502,10 +502,26 @@ def random_mosaic(key, images, boxes, prob=0.3, center_range=(0.3, 0.7)):
     return out_img, out_box
 
 
+def _pack_valid_front(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Stably move each image's valid box rows to the front of the
+    capacity axis (invalid/zero rows sink to the back, order preserved)."""
+    invalid = (~_valid(boxes)).astype(jnp.int32)
+    order = jnp.argsort(invalid, axis=1, stable=True)
+    return jnp.take_along_axis(boxes, order[..., None], axis=1)
+
+
 def random_mixup(key, images, boxes, prob=0.1, alpha_range=(0.2, 0.8)):
     """Pairwise MixUp with the rolled batch (reference generators.py:
     1012-1161): blend with lambda in [0.2, 0.8], concatenate box lists.
-    Capacity must be pre-expanded (x2)."""
+    Capacity must be pre-expanded (x2).
+
+    Valid boxes are packed to the front before halving: mosaic leaves each
+    quadrant's boxes in its own capacity-slot section (slots [q*n/4,
+    (q+1)*n/4)), so a naive ``boxes[:, :n//2]`` would silently drop the GT
+    of quadrants 2-3 whenever mosaic and mixup fire on the same image.
+    After packing, each side's valid boxes (<= n/2 by the x8/x2 capacity
+    rule) always fit in its half — no truncation, matching the
+    reference's explicit no-truncation assert (generators.py:1012+)."""
     b = images.shape[0]
     n = boxes.shape[1]
     half = n // 2
@@ -514,9 +530,11 @@ def random_mixup(key, images, boxes, prob=0.1, alpha_range=(0.2, 0.8)):
     lam = jax.random.uniform(
         k2, (b, 1, 1, 1), minval=alpha_range[0], maxval=alpha_range[1])
     other = jnp.roll(images, -1, 0)
-    other_boxes = jnp.roll(boxes, -1, 0)
+    packed = _pack_valid_front(boxes)
+    other_boxes = jnp.roll(packed, -1, 0)
     mixed = images * lam + other * (1.0 - lam)
-    merged = jnp.concatenate([boxes[:, :half], other_boxes[:, :half]], axis=1)
+    merged = jnp.concatenate([packed[:, :half], other_boxes[:, :half]],
+                             axis=1)
     merged = jnp.pad(merged, ((0, 0), (0, n - 2 * half), (0, 0)))
     out_img = jnp.where(apply[:, None, None, None], mixed, images)
     out_box = jnp.where(apply[:, None, None], merged, boxes)

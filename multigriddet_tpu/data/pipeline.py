@@ -242,8 +242,11 @@ class MultiGridDataGenerator:
                     batch_lines = [self.lines[i] for i in idx]
                     hw = self._pick_shape(step)
                     q.put((self.loader.load_batch(batch_lines, hw), hw))
-            finally:
                 q.put(None)
+            except BaseException as exc:  # propagate to the consumer —
+                # a swallowed producer error would silently end the epoch
+                # early and train on a prefix of the dataset
+                q.put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -251,6 +254,8 @@ class MultiGridDataGenerator:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             (images_u8, boxes), hw = item
             yield self.process_batch(images_u8, boxes, hw)
         thread.join()

@@ -140,25 +140,35 @@ class MultiGridEvaluator:
                     metas = []
                     for bi, line in enumerate(chunk):
                         img_path, gt_boxes = parse_annotation_line(line)
-                        if save_imgs and start + bi < max_save:
-                            with Image.open(img_path) as img:
-                                img = img.convert('RGB')
-                                iw, ih = img.size
-                                raw = np.asarray(img)
-                        else:
+                        raw = None
+                        try:
                             with Image.open(img_path) as img:
                                 iw, ih = img.size
-                            raw = None
+                                if save_imgs and start + bi < max_save:
+                                    raw = np.asarray(img.convert('RGB'))
+                        except Exception as exc:
+                            # the loader already fed a gray canvas for this
+                            # slot; count the image honestly (its GT becomes
+                            # misses) instead of killing the whole eval
+                            print(f'WARNING: cannot read {img_path} '
+                                  f'({type(exc).__name__}); counting its '
+                                  f'ground truth as missed')
+                            ih, iw = self.input_hw
                         metas.append((start + bi, gt_boxes, ih, iw, raw))
                     q.put((batch_arr, metas))
-            finally:
                 q.put(None)
+            except BaseException as exc:
+                # propagate: a swallowed producer error would silently
+                # report mAP over a truncated prefix as a complete run
+                q.put(exc)
 
         threading.Thread(target=producer, daemon=True).start()
         while True:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             batch_arr, metas = item
 
             t0 = time.time()
@@ -168,15 +178,11 @@ class MultiGridEvaluator:
             for bi, (img_id, gt_boxes, ih, iw, raw) in enumerate(metas):
                 keep = valid[bi]
                 b, c, s = bxs[bi][keep], cls[bi][keep], scs[bi][keep]
-                if self.use_wbf and len(b):
-                    from ..postprocess.wbf import weighted_boxes_fusion
-                    b, s, c = weighted_boxes_fusion(
-                        b, s, c, iou_thr=self.nms_threshold,
-                        mode=self.wbf_mode)
-                    if len(b) > self.max_detections:
-                        # reference _filter_boxes: top-K by score
-                        top = np.argsort(s)[::-1][:self.max_detections]
-                        b, s, c = b[top], s[top], c[top]
+                if self.use_wbf:
+                    from ..postprocess.wbf import fuse_and_cap
+                    b, c, s = fuse_and_cap(
+                        b, c, s, iou_thr=self.nms_threshold,
+                        mode=self.wbf_mode, max_out=self.max_detections)
                 if len(b):
                     b = np.asarray(canvas_boxes_to_image(
                         b, (ih, iw), self.input_hw))

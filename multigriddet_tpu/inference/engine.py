@@ -87,17 +87,11 @@ class MultiGridInference:
 
     def _host_fuse(self, boxes, classes, scores):
         """Apply WBF to one image's candidate pool (canvas pixels)."""
-        if self.use_wbf and len(boxes):
-            from ..postprocess.wbf import weighted_boxes_fusion
-            boxes, scores, classes = weighted_boxes_fusion(
-                boxes, scores, classes, iou_thr=self.nms_threshold,
-                mode=self.wbf_mode)
-            if len(boxes) > self.max_boxes:
-                # reference _filter_boxes (multigrid_decode.py:322-345):
-                # top-max_boxes by score ('reference' mode output is
-                # class-ordered, so an unsorted slice would be wrong)
-                top = np.argsort(scores)[::-1][:self.max_boxes]
-                boxes, classes, scores = boxes[top], classes[top], scores[top]
+        if self.use_wbf:
+            from ..postprocess.wbf import fuse_and_cap
+            boxes, classes, scores = fuse_and_cap(
+                boxes, classes, scores, iou_thr=self.nms_threshold,
+                mode=self.wbf_mode, max_out=self.max_boxes)
         return boxes, classes, scores
 
     # ------------------------------------------------------------------
@@ -221,6 +215,21 @@ class MultiGridInference:
                 imgs = np.concatenate([imgs, pad], axis=0)
             sizes = [(int(m[4]), int(m[3])) if good else None
                      for m, good in zip(metas, ok)]
+            # the native loader decodes JPEG only: retry failed slots with
+            # PIL so valid PNG/BMP/WebP inputs still produce detections
+            # (only truly unreadable files stay empty)
+            for i, good in enumerate(ok):
+                if good:
+                    continue
+                try:
+                    with Image.open(chunk[i]) as im:
+                        rgb = im.convert('RGB')
+                        iw, ih = rgb.size
+                        arr, _, _, _ = letterbox_image(rgb, self.input_hw)
+                    imgs[i] = arr
+                    sizes[i] = (ih, iw)
+                except Exception:
+                    pass  # unreadable/corrupt file -> empty result slot
             outs = self._infer(self.variables, jnp.asarray(imgs))
             pending.append((outs, sizes))
             if len(pending) > max(pipeline_depth, 0):
@@ -245,6 +254,11 @@ class MultiGridInference:
             out_path = os.path.join(output_dir, os.path.basename(path))
             Image.fromarray(annotated).save(out_path)
             print(f'Saved to {out_path}')
+        if show:  # output.show_result (reference inference_engine.py:382)
+            try:
+                Image.fromarray(annotated).show()
+            except Exception as exc:  # headless host: warn, don't fail
+                print(f'WARNING: could not display image: {exc}')
         return annotated, (boxes, classes, scores)
 
     def predict_directory(self, directory: str,

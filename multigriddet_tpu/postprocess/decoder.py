@@ -17,9 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.decode import decode_predictions
-from ..ops.geometry import undo_letterbox_boxes
+from ..ops.geometry import canvas_boxes_to_image
 from ..ops.nms import batched_nms
-from .wbf import weighted_boxes_fusion
+from .wbf import fuse_and_cap
 
 
 class MultiGridDecoder:
@@ -80,28 +80,20 @@ class MultiGridDecoder:
         scores = np.asarray(scores[0])
         keep = np.asarray(valid[0])
         tl, classes, scores = tl[keep], classes[keep], scores[keep]
-        if self.use_wbf and len(tl):
-            tl, scores, classes = weighted_boxes_fusion(
-                tl, scores, classes, iou_thr=self.nms_threshold,
-                mode=self.wbf_mode)
-            if len(tl) > self.max_boxes:
-                # reference _filter_boxes (multigrid_decode.py:322-345)
-                top = np.argsort(scores)[::-1][:self.max_boxes]
-                tl, scores, classes = tl[top], scores[top], classes[top]
+        if self.use_wbf:
+            tl, classes, scores = fuse_and_cap(
+                tl, classes, scores, iou_thr=self.nms_threshold,
+                mode=self.wbf_mode, max_out=self.max_boxes)
         ih, iw = image_shape or self.input_hw
         if len(tl):
-            hw = np.asarray(self.input_hw, np.float32)
-            cxcywh = np.stack([
-                (tl[:, 0] + tl[:, 2] / 2) / hw[1],
-                (tl[:, 1] + tl[:, 3] / 2) / hw[0],
-                tl[:, 2] / hw[1], tl[:, 3] / hw[0]], axis=-1)
-            xywh = np.asarray(undo_letterbox_boxes(
-                jnp.asarray(cxcywh), (ih, iw), self.input_hw))
+            # host numpy path: canvas_boxes_to_image combines the
+            # normalized-cxcywh convert, letterbox inverse, and bounds
+            # clip without a per-image device dispatch (geometry._xp)
+            xywh = np.asarray(canvas_boxes_to_image(
+                tl, (ih, iw), self.input_hw))
             boxes = np.stack([xywh[:, 0], xywh[:, 1],
                               xywh[:, 0] + xywh[:, 2],
                               xywh[:, 1] + xywh[:, 3]], axis=-1)
-            boxes[:, 0::2] = boxes[:, 0::2].clip(0, iw)
-            boxes[:, 1::2] = boxes[:, 1::2].clip(0, ih)
         else:
             boxes = np.zeros((0, 4), np.float32)
         return boxes, classes, scores

@@ -180,3 +180,30 @@ def weighted_boxes_fusion(boxes: np.ndarray, scores: np.ndarray,
     out_classes = np.asarray(out_classes, np.int32)
     order = np.argsort(-out_scores, kind='stable')
     return out_boxes[order], out_scores[order], out_classes[order]
+
+
+def fuse_and_cap(boxes: np.ndarray, classes: np.ndarray, scores: np.ndarray,
+                 iou_thr: float, mode: str = 'paper',
+                 max_out: Optional[int] = None
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """WBF + the reference's over-capacity filter, for the product paths.
+
+    One shared implementation of the fuse-then-cap block the inference
+    engine, evaluator, and decoder facade all need: run
+    :func:`weighted_boxes_fusion` on one image's candidate pool, then —
+    exactly like the reference's ``_filter_boxes``
+    (multigrid_decode.py:322-345) — keep the top ``max_out`` by score
+    ('reference' mode output is class-ordered, so an unsorted slice would
+    be wrong).
+
+    Takes and returns ``(boxes, classes, scores)`` (the detection-tuple
+    order the serving paths use).  Empty inputs pass through unchanged.
+    """
+    if not len(boxes):
+        return boxes, classes, scores
+    boxes, scores, classes = weighted_boxes_fusion(
+        boxes, scores, classes, iou_thr=iou_thr, mode=mode)
+    if max_out is not None and len(boxes) > max_out:
+        top = np.argsort(scores)[::-1][:max_out]
+        boxes, classes, scores = boxes[top], classes[top], scores[top]
+    return boxes, classes, scores

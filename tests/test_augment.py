@@ -248,3 +248,33 @@ def test_copypaste_stacked_pastes_occlude(rng):
         # (the last VALID composite) survives — before the occlusion rule
         # every valid paste stayed live
         assert alive.sum() == 1
+
+
+def test_mixup_preserves_mosaic_quadrant_boxes(batch):
+    """Regression: mosaic leaves each quadrant's boxes in its own
+    capacity-slot section (quadrants 2-3 live in the upper half), so
+    mixup's halving must pack valid boxes to the front first — a naive
+    ``boxes[:, :n//2]`` silently drops quadrant-2/3 ground truth whenever
+    both augs fire (the objects stay in the pixels but train as
+    background)."""
+    images, boxes = batch
+    expanded = A.expand_box_capacity(boxes, 8)  # mosaic+mixup rule
+    k_mo, k_mi = jax.random.split(jax.random.PRNGKey(7))
+    m_img, m_box = jax.jit(
+        lambda k, i, b: A.random_mosaic(k, i, b, prob=1.0))(
+            k_mo, images, expanded)
+    _, out_box = jax.jit(
+        lambda k, i, b: A.random_mixup(k, i, b, prob=1.0))(
+            k_mi, m_img, m_box)
+    mb, ob = np.asarray(m_box), np.asarray(out_box)
+
+    def valid_rows(a):
+        return [tuple(r) for r in a[(a[:, 2] - a[:, 0]) > 0]]
+
+    half = mb.shape[1] // 2
+    # the scenario must actually exercise the upper-half slots
+    assert any(len(valid_rows(mb[i][half:])) for i in range(B))
+    for i in range(B):
+        expect = sorted(valid_rows(mb[i]) + valid_rows(mb[(i + 1) % B]))
+        got = sorted(valid_rows(ob[i]))
+        assert got == expect, f'image {i}: mixup dropped mosaic boxes'

@@ -334,3 +334,28 @@ def test_video_pipelining_frame_integrity(config, tmp_path, monkeypatch):
         np.testing.assert_allclose(b0, b1)
         np.testing.assert_array_equal(c0, c1)
         np.testing.assert_allclose(s0, s1)
+
+
+def test_detect_files_native_path_handles_png(config, tmp_path):
+    """The native loader decodes JPEG only; detect_files must retry
+    non-JPEG (and any native-decode failure) with PIL so a valid PNG
+    produces the same detections as the PIL path, not a silent empty."""
+    from multigriddet_tpu.data.native import native_available
+    if not native_available():
+        pytest.skip('native loader not built')
+    engine = MultiGridInference(config)
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 255, (40, 64, 3)).astype('uint8')
+    png = tmp_path / 'img.png'
+    Image.fromarray(arr).save(png)
+    jpg = tmp_path / 'img.jpg'
+    Image.fromarray(rng.randint(0, 255, (40, 64, 3))
+                    .astype('uint8')).save(jpg)
+    results = engine.detect_files([str(png), str(jpg)], batch_size=2)
+    assert len(results) == 2
+    pb, pc, ps = engine.detect(Image.open(png))
+    nb, nc, ns = results[0]
+    assert len(nb) == len(pb)
+    if len(nb):
+        np.testing.assert_allclose(nb, pb, atol=1e-4)
+        np.testing.assert_array_equal(nc, pc)

@@ -186,3 +186,28 @@ def test_generator_with_disk_cache(files, tmp_path):
     assert len(b1) == len(b2) == 2
     for a, b in zip(b1, b2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_generator_propagates_producer_errors(files, monkeypatch):
+    """A failure inside the prefetch producer thread must raise in the
+    consuming iterator, not silently end the epoch early (which would
+    train on a prefix of the dataset with normal-looking metrics)."""
+    gen = MultiGridDataGenerator(
+        files, ANCHORS, 3, (64, 64), batch_size=2, max_boxes=4,
+        augment={'enabled': False}, train=True, seed=1)
+    calls = {'n': 0}
+    orig = gen.loader.load_batch
+
+    def flaky(lines, hw=None):
+        calls['n'] += 1
+        if calls['n'] == 2:
+            raise OSError('disk went away')
+        return orig(lines, hw)
+
+    monkeypatch.setattr(gen.loader, 'load_batch', flaky)
+    it = iter(gen)
+    next(it)  # first batch fine
+    with pytest.raises(OSError, match='disk went away'):
+        for _ in it:
+            pass
+    gen.close()

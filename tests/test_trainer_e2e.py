@@ -278,3 +278,44 @@ def test_evaluator_reference_metrics_mode(dataset, tmp_path):
     for cls_res in res['per_class'].values():
         assert 'AP0.50' in cls_res and 'AP' in cls_res
     ev.print_results()
+
+
+def test_evaluator_tolerates_missing_image_and_raises_on_io_error(
+        dataset, tmp_path, monkeypatch, capsys):
+    """One unreadable image must not silently truncate the eval (its GT
+    counts as missed, every other image still evaluated); a producer
+    failure mid-run must RAISE, not report mAP over a prefix."""
+    from multigriddet_tpu.evaluation import MultiGridEvaluator
+
+    root, ann, classes, anchors = dataset
+    lines = ann.read_text().splitlines()
+    bad = str(root / 'does_not_exist.jpg')
+    mixed = tmp_path / 'mixed.txt'
+    mixed.write_text('\n'.join(
+        lines[:2] + [f'{bad} 10,10,40,40,0'] + lines[2:4]) + '\n')
+    cfg = {
+        'model': {'type': 'preset', 'preset': {
+            'architecture': 'multigriddet_tiny', 'num_classes': 2,
+            'input_shape': [64, 64, 3], 'anchors_path': str(anchors),
+            'classes_path': str(classes)}},
+        'data': {'annotation': str(mixed), 'classes_path': str(classes)},
+        'evaluation': {'batch_size': 2, 'input_shape': [64, 64, 3],
+                       'confidence_threshold': 0.05,
+                       'iou_thresholds': [0.5], 'save_results': False},
+    }
+    ev = MultiGridEvaluator(cfg)
+    results = ev.evaluate()
+    assert results['num_images'] == 5
+    assert len(ev.ground_truths) == 5  # nothing truncated
+    assert 'cannot read' in capsys.readouterr().out
+
+    ev2 = MultiGridEvaluator(cfg)
+
+    def boom(chunk, hw=None):
+        raise OSError('io error mid-eval')
+
+    # patch the loader the producer thread uses
+    import multigriddet_tpu.data.annotations as ann_mod
+    monkeypatch.setattr(ann_mod.HostImageLoader, 'load_batch', boom)
+    with pytest.raises(OSError, match='io error mid-eval'):
+        ev2.evaluate()
