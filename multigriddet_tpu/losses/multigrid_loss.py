@@ -114,39 +114,6 @@ def _patches(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.stack(shifts, axis=3)
 
 
-def _center_gt_boxes(y_true: jnp.ndarray, anchors: jnp.ndarray,
-                     stride_hw: Tuple[float, float], max_boxes: int):
-    """Recover the unique GT box set from center cells, fixed capacity.
-
-    All <=9 cells of one GT decode to the same absolute box (the 9-cell
-    alignment invariant), so selecting cells whose stored offsets lie in
-    [0,1) yields each GT exactly once.  Replaces the reference's dynamic
-    ``tf.where`` gather + ``map_fn`` (multigrid_loss.py:574-652).
-
-    Returns (boxes [B,G,4] cxcywh in canvas pixels, mask [B,G]).
-    """
-    b, gh, gw, _ = y_true.shape
-    sh, sw = stride_hw
-    na = anchors.shape[0]
-    txy = y_true[..., 0:2]
-    obj = y_true[..., 4]
-    is_center = ((txy[..., 0] >= 0.0) & (txy[..., 0] < 1.0)
-                 & (txy[..., 1] >= 0.0) & (txy[..., 1] < 1.0) & (obj > 0.5))
-    cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
-    rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
-    cx = (txy[..., 0] + cols) * sw
-    cy = (txy[..., 1] + rows) * sh
-    sel = jnp.argmax(y_true[..., 5:5 + na], axis=-1)
-    wh = jnp.exp(y_true[..., 2:4]) * anchors[sel]
-    flat = jnp.concatenate(
-        [cx[..., None], cy[..., None], wh], axis=-1).reshape(b, -1, 4)
-    score = is_center.astype(jnp.float32).reshape(b, -1)
-    k = min(max_boxes, score.shape[1])
-    top, idx = jax.lax.top_k(score, k)
-    boxes = jnp.take_along_axis(flat, idx[..., None], axis=1)
-    return boxes, top > 0.5
-
-
 def _pairwise_iou_cxcywh(a: jnp.ndarray, b: jnp.ndarray,
                          b_mask: jnp.ndarray) -> jnp.ndarray:
     """IoU between [B,N,4] and [B,G,4] cxcywh boxes -> [B,N,G] (masked)."""
@@ -175,8 +142,12 @@ def _ignore_mask(cfg: LossConfig, pred_xy, pred_wh, y_true, anchors,
     na = anchors.shape[0]
     sh, sw = stride_hw
 
-    gt_boxes, gt_mask = _center_gt_boxes(
-        y_true, anchors, stride_hw, cfg.max_gt_boxes)
+    # one shared implementation of the center-cell GT recovery (the 9-cell
+    # alignment invariant) — also the encoding module's public API and the
+    # target the golden tests pin
+    from ..ops.encoding import extract_center_gt_boxes
+    gt_boxes, gt_mask = extract_center_gt_boxes(
+        y_true, anchors, (sh * gh, sw * gw), cfg.max_gt_boxes)
 
     cols = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
     rows = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)

@@ -37,9 +37,16 @@ class MultiGridDet(nn.Module):
     head: nn.Module
     neck: nn.Module | None = None
 
-    def __call__(self, images: jnp.ndarray, train: bool = False):
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 backbone_train: bool | None = None):
+        # ``backbone_train`` lets the freeze_level=1 transfer stage run the
+        # frozen backbone in inference mode (BN normalizes with the ported
+        # moving statistics and does not update them) while the head still
+        # trains — the reference's Keras ``trainable=False`` semantics
+        # (multigriddet_darknet.py:634-645).  Defaults to ``train``.
+        bt = train if backbone_train is None else backbone_train
         # positional `train` so nn.remat's static_argnums can mark it
-        taps = self.backbone(images, train)
+        taps = self.backbone(images, bt)
         if self.neck is not None:
             taps = self.neck(taps, train)
         return self.head(taps, train=train)

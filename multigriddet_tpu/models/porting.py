@@ -251,7 +251,14 @@ def port_keras_weights(h5_path: str, variables: Dict[str, Any],
         node[path[-1]] = np.asarray(value, np.float32)
 
     def match_stream(flax_convs, h5_convs):
-        """Per-shape-class matching.  Returns list of (fi, hi) pairs."""
+        """Per-shape-class matching.  Returns (fi, hi, transpose) triples.
+
+        Keras DepthwiseConv2D kernels are ``(kh, kw, C, 1)`` while flax
+        depthwise convs (``feature_group_count=C``) store ``(kh, kw, 1,
+        C)`` — the lite/separable models' depthwise weights live in the
+        transposed shape class, so a flax ``(k, k, 1, C)`` unit with no
+        same-shape pool falls back to the Keras-depthwise shape and is
+        transposed on assignment."""
         from collections import defaultdict
         by_shape_h5 = defaultdict(list)
         for hi, (_, hu, _) in enumerate(h5_convs):
@@ -260,29 +267,70 @@ def port_keras_weights(h5_path: str, variables: Dict[str, Any],
         taken = defaultdict(int)
         for fi, (_, fu) in enumerate(flax_convs):
             shape = tuple(_get_path(params, fu['kernel']).shape)
-            pool = by_shape_h5.get(shape, [])
-            k = taken[shape]
-            if k < len(pool):
-                pairs.append((fi, pool[k]))
-                taken[shape] += 1
+            candidates = [(shape, False)]
+            if len(shape) == 4 and shape[2] == 1 and shape[3] > 1:
+                candidates.append(
+                    ((shape[0], shape[1], shape[3], 1), True))
+            for cand, transpose in candidates:
+                pool = by_shape_h5.get(cand, [])
+                k = taken[cand]
+                if k < len(pool):
+                    pairs.append((fi, pool[k], transpose))
+                    taken[cand] += 1
+                    break
         return pairs
+
+    def is_dw_flax(fu):
+        s = tuple(_get_path(params, fu['kernel']).shape)
+        return len(s) == 4 and s[2] == 1 and s[3] > 1
+
+    def is_dw_h5(hu):
+        s = hu['kernel'].shape
+        return len(s) == 4 and s[3] == 1 and s[2] > 1
+
+    def reorder_h5_by_class(h_stream, f_stream):
+        """Reconstruct the h5 conv stream's CREATION order across layer
+        classes.  Keras-3 name counters are per class (conv2d_*,
+        depthwise_conv2d_*), so the sorted-name order groups all normal
+        convs before all depthwise ones; within each class the order is
+        creation order.  Interleaving the two class queues to the flax
+        call-order class pattern restores 'the k-th BN belongs to the
+        k-th bias-free conv', which the BN pairing below relies on."""
+        dw = [u for u in h_stream if is_dw_h5(u[1])]
+        if not dw:
+            return h_stream
+        queues = {True: iter(dw),
+                  False: iter([u for u in h_stream if not is_dw_h5(u[1])])}
+        out = []
+        for _, fu in f_stream:
+            nxt = next(queues[is_dw_flax(fu)], None)
+            if nxt is not None:
+                out.append(nxt)
+        used = {id(u) for u in out}
+        out.extend(u for u in h_stream if id(u) not in used)
+        return out
 
     for biased in (False, True):
         f_stream = split(flax_units, biased)
         h_stream = split(h5_units, biased)
+        if not biased:
+            h_stream = reorder_h5_by_class(h_stream, f_stream)
         pairs = match_stream(f_stream, h_stream)
         mismatched += max(len(f_stream), len(h_stream)) - len(pairs)
-        for fi, hi in pairs:
+        for fi, hi, transpose in pairs:
             fu = f_stream[fi][1]
             hu = h_stream[hi][1]
-            set_path(params, fu['kernel'], hu['kernel'])
+            kernel = hu['kernel']
+            if transpose:  # Keras depthwise (k,k,C,1) -> flax (k,k,1,C)
+                kernel = np.transpose(kernel, (0, 1, 3, 2))
+            set_path(params, fu['kernel'], kernel)
             if 'bias' in fu and 'bias' in hu:
                 set_path(params, fu['bias'], hu['bias'])
             loaded += 1
         if not biased and len(f_stream) == len(flax_bns) \
                 and len(h_stream) == len(h5_bns):
             # BN-k belongs to conv-k in each stream: reuse the permutation
-            for fi, hi in pairs:
+            for fi, hi, _ in pairs:
                 fu = flax_bns[fi][1]
                 hu = h5_bns[hi][1]
                 target_shape = tuple(_get_path(params, fu['scale']).shape)

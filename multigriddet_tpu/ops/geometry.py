@@ -147,23 +147,6 @@ def pairwise_diou_xywh_topleft(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
 # Letterbox coordinate transforms.
 # ---------------------------------------------------------------------------
 
-def letterbox_params(image_hw, target_hw):
-    """Scale + padding offsets for an aspect-preserving letterbox resize.
-
-    Returns ``(scale, pad_x, pad_y, new_w, new_h)`` where the resized content
-    occupies ``[pad_x : pad_x+new_w, pad_y : pad_y+new_h]`` of the target
-    canvas (reference: utils/preprocessing.py:12-50).
-    """
-    ih, iw = image_hw
-    th, tw = target_hw
-    scale = jnp.minimum(tw / iw, th / ih)
-    new_w = jnp.round(iw * scale)
-    new_h = jnp.round(ih * scale)
-    pad_x = (tw - new_w) // 2
-    pad_y = (th - new_h) // 2
-    return scale, pad_x, pad_y, new_w, new_h
-
-
 def _xp(*arrays):
     """numpy for host arrays, jnp for device/traced arrays.
 

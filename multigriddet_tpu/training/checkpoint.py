@@ -50,15 +50,46 @@ class CheckpointManager:
         return self._mngr.best_step()
 
     def restore(self, state_template: TrainState,
-                step: Optional[int] = None) -> TrainState:
+                step: Optional[int] = None,
+                allow_mismatch: bool = False) -> TrainState:
+        """Restore the full TrainState.
+
+        With ``allow_mismatch``, a checkpoint whose opt_state tree does not
+        match the template (saved on the other side of a freeze-stage
+        boundary, where optax.multi_transform changes the tree structure)
+        falls back to restoring params/batch_stats/step onto the template's
+        fresh optimizer state — the same optimizer an unresumed run would
+        create at that boundary.
+        """
         step = step if step is not None else self._mngr.latest_step()
         if step is None:
             raise FileNotFoundError(
                 f'no checkpoint found in {self.directory}')
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           state_template)
-        return self._mngr.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        try:
+            return self._mngr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except Exception:
+            if not allow_mismatch:
+                raise
+            raw = self.restore_raw(step)
+            print('Checkpoint optimizer state does not match this training '
+                  'stage (saved across a freeze boundary); restored '
+                  'params/batch_stats/step with a fresh optimizer state')
+            import jax.numpy as jnp
+            return state_template.replace(
+                step=jnp.asarray(raw['step'], jnp.int32),
+                params=raw['params'],
+                batch_stats=raw['batch_stats'])
+
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore the checkpoint as a raw pytree (no template)."""
+        step = step if step is not None else self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f'no checkpoint found in {self.directory}')
+        return self._mngr.restore(step)
 
     def close(self):
         self._mngr.close()

@@ -34,23 +34,48 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     class_weights: Optional[jnp.ndarray] = None,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
-                    strides: Tuple[int, ...] = (32, 16, 8)) -> Callable:
+                    strides: Tuple[int, ...] = (32, 16, 8),
+                    freeze_level: int = 0) -> Callable:
     """Build the jitted train step: (state, images, y_true) -> (state, metrics).
 
     With ``mesh``, inputs are expected batch-sharded and state replicated;
     the returned function carries explicit sharding constraints so it can be
     called directly on host arrays too.
+
+    ``freeze_level`` mirrors the reference's Keras ``trainable=False``
+    semantics (multigriddet_darknet.py:634-645), where freezing a layer also
+    puts its BatchNorm in inference mode (moving stats used for
+    normalization, never updated): 1 freezes the backbone's BN alongside
+    its params; >=2 freezes every BN (only the BN-free predict convs
+    train).  The optimizer ``tx`` must be partitioned to match
+    (state.partition_optimizer).
     """
     anchors = [np.asarray(a, np.float32) for a in anchors]
 
     def loss_fn(params, batch_stats, images, y_true):
-        outs, mut = model.apply(
-            {'params': params, 'batch_stats': batch_stats}, images,
-            train=True, mutable=['batch_stats'])
+        if freeze_level >= 2:
+            # only the predict convs train: whole model in inference mode,
+            # no BN statistics update (reference freezes all but the last
+            # 3 layers)
+            outs = model.apply(
+                {'params': params, 'batch_stats': batch_stats}, images,
+                train=False)
+            new_bs = batch_stats
+        elif freeze_level == 1:
+            # frozen backbone runs eval-mode BN; head/neck BN still trains
+            outs, mut = model.apply(
+                {'params': params, 'batch_stats': batch_stats}, images,
+                train=True, backbone_train=False, mutable=['batch_stats'])
+            new_bs = mut['batch_stats']
+        else:
+            outs, mut = model.apply(
+                {'params': params, 'batch_stats': batch_stats}, images,
+                train=True, mutable=['batch_stats'])
+            new_bs = mut['batch_stats']
         total, metrics = multigrid_loss(
             outs, list(y_true), anchors, num_classes, input_hw, loss_cfg,
             class_weights, strides=strides)
-        return total, (mut['batch_stats'], metrics)
+        return total, (new_bs, metrics)
 
     def step(state: TrainState, images, y_true):
         if mesh is not None:

@@ -147,12 +147,24 @@ class MultiGridTrainer:
     # Stage runner
     # ------------------------------------------------------------------
 
-    def _make_stage(self, freeze_level: int, epochs_in_stage: int,
+    def _make_stage(self, freeze_level: int, start_epoch: int,
                     params, batch_stats, lr_override=None):
         steps_per_epoch = max(len(self.train_gen), 1)
         total_epochs = int(self.training_cfg.get('epochs', 1))
-        schedule = make_lr_schedule(self.config, steps_per_epoch,
+        accum = int(self.training_cfg.get('gradient_accumulation', 1) or 1)
+        # the schedule advances once per OPTIMIZER UPDATE (MultiSteps
+        # applies one update per `accum` batches)
+        updates_per_epoch = max(steps_per_epoch // max(accum, 1), 1)
+        schedule = make_lr_schedule(self.config, updates_per_epoch,
                                     total_epochs)
+        if start_epoch > 0:
+            # each stage's fresh optimizer counts from 0: shift the
+            # schedule by the epochs already trained so warmup/cosine
+            # track the GLOBAL epoch across the freeze boundary and
+            # resumes, like the reference's CosineAnnealingWithWarmup
+            # callback (reference trainer.py:23-100)
+            base_schedule, offset = schedule, start_epoch * updates_per_epoch
+            schedule = lambda count: base_schedule(count + offset)
         sched_cfg = self.config.get('lr_schedule', {}) or {}
         if sched_cfg.get('type') == 'reduce_on_plateau':
             base_lr = lr_override or resolve_learning_rate(self.config)
@@ -164,7 +176,6 @@ class MultiGridTrainer:
                                                inject_lr=True)
         else:
             opt = create_optimizer_from_config(self.config, schedule)
-        accum = int(self.training_cfg.get('gradient_accumulation', 1) or 1)
         if accum > 1:
             # large effective batches without more HBM
             opt = optax.MultiSteps(opt, every_k_schedule=accum)
@@ -179,7 +190,7 @@ class MultiGridTrainer:
         hw = tuple(self.spec['input_shape'][:2])
         train_step = make_train_step(
             self.model, tx, self.spec['anchors'], self.spec['num_classes'],
-            hw, loss_cfg, cw, mesh=self.mesh)
+            hw, loss_cfg, cw, mesh=self.mesh, freeze_level=freeze_level)
         eval_step = make_eval_step(
             self.model, self.spec['anchors'], self.spec['num_classes'],
             hw, loss_cfg, cw, mesh=self.mesh)
@@ -296,15 +307,26 @@ class MultiGridTrainer:
         resume = self.config.get('resume', {}) or {}
         restore_state = (bool(resume.get('enabled'))
                          and ckpt.latest_step() is not None)
+        if restore_state:
+            # checkpoints are keyed by the epoch they completed; bump the
+            # epoch BEFORE stage selection so a run that crashed after the
+            # unfreeze restores into the stage-2 optimizer template (a
+            # stage-1 multi_transform template cannot hold a stage-2
+            # opt_state tree, and vice versa)
+            epoch = max(epoch, int(ckpt.latest_step()) + 1)
 
         for stage_idx, (fl, until_epoch) in enumerate(stages):
             if epoch >= until_epoch:
                 continue
             lr_override = getattr(self, '_plateau_lr', None)
             state, train_step, eval_step, schedule = self._make_stage(
-                fl, until_epoch - epoch, params, batch_stats, lr_override)
+                fl, epoch, params, batch_stats, lr_override)
             if restore_state:
-                state = ckpt.restore(state)
+                # allow_mismatch: a checkpoint saved in the OTHER stage
+                # restores params/batch_stats/step with this stage's fresh
+                # optimizer (exactly what an unresumed run does at the
+                # freeze boundary)
+                state = ckpt.restore(state, allow_mismatch=True)
                 # orbax restores onto the default device; replicate over the
                 # mesh so the sharded train step accepts it
                 state = jax.device_put(
@@ -383,6 +405,15 @@ class MultiGridTrainer:
             batch_stats = state.batch_stats
             if es_patience and patience_count >= es_patience:
                 break
+
+        if restore_state:
+            # every configured epoch was already trained before the resume:
+            # no stage ran, so pull the weights from the checkpoint for the
+            # final export instead of saving the fresh init
+            raw = ckpt.restore_raw()
+            params, batch_stats = raw['params'], raw['batch_stats']
+            print('Resume found training already complete; exporting the '
+                  'checkpointed weights')
 
         if self.training_cfg.get('bn_recalibrate', False):
             # BN running stats lag the weights on short/frozen schedules;

@@ -173,11 +173,16 @@ int load_one(const char* path, int th, int tw, uint8_t* out, float* meta) {
                    &full_w, &full_h)) {
     return 2;
   }
-  const float scale =
-      std::min(static_cast<float>(tw) / full_w,
-               static_cast<float>(th) / full_h);
-  const int nw = static_cast<int>(std::lround(full_w * scale));
-  const int nh = static_cast<int>(std::lround(full_h * scale));
+  // double + nearbyint (round-half-to-even under the default FP mode) to
+  // match the PIL path's Python round() and the eval-side letterbox
+  // inverse's np.round on exact .5 ties; lround (half-away-from-zero)
+  // placed content one pixel off the inverse for such images
+  const double dscale =
+      std::min(static_cast<double>(tw) / full_w,
+               static_cast<double>(th) / full_h);
+  const float scale = static_cast<float>(dscale);
+  const int nw = static_cast<int>(std::nearbyint(full_w * dscale));
+  const int nh = static_cast<int>(std::nearbyint(full_h * dscale));
   const int pad_x = (tw - nw) / 2;
   const int pad_y = (th - nh) / 2;
   std::memset(out, 128, static_cast<size_t>(th) * tw * 3);

@@ -68,14 +68,30 @@ def test_two_process_trainer(tmp_path):
     env = dict(os.environ)
     env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
     worker = os.path.join(REPO, 'tests', '_mp_trainer_worker.py')
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), '2', str(port), str(tmp_path)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for pid in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+
+    def launch(coord_port):
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(pid), '2', str(coord_port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for pid in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        return procs, outs
+
+    procs, outs = launch(port)
+    if any(p.returncode != 0 for p in procs) and any(
+            'DEADLINE_EXCEEDED' in o and 'gloo' in o for o in outs):
+        # XLA's gloo KV store hardcodes a 30 s rendezvous timeout; on this
+        # 1-core box a fresh-compile skew between the two timesharing
+        # processes can breach it.  One retry runs from the warm
+        # compilation cache, which removes the skew.
+        with socket.socket() as s:
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+        procs, outs = launch(port)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker failed:\n{out[-3000:]}'
 

@@ -67,3 +67,26 @@ def test_host_loader_native_bad_file_fallback(jpegs, tmp_path):
     assert (imgs[1] == 128).all()
     assert (boxes[1] == 0).all()
     loader.close()
+
+
+def test_native_rounding_ties_match_pil(tmp_path):
+    """Exact .5 resize ties must round like Python round()/np.round
+    (half-to-even): a 73x128 image letterboxed to 64x64 has content width
+    73*64/128 = 36.5 -> 36, not lround's 37 — a mismatch shifts content
+    one pixel against the letterbox inverse."""
+    from multigriddet_tpu.data.annotations import letterbox_image
+    from multigriddet_tpu.data.native import load_letterbox_batch
+    arr = np.full((128, 73, 3), 200, np.uint8)
+    p = tmp_path / 'tie.jpg'
+    Image.fromarray(arr).save(p, quality=95)
+    imgs, metas, ok = load_letterbox_batch([str(p)], (64, 64))
+    assert ok.all()
+    ref, scale, pad_x, pad_y = letterbox_image(
+        Image.open(p).convert('RGB'), (64, 64))
+    assert int(metas[0, 1]) == pad_x == 14  # (64 - 36) // 2
+    # identical gray-padding geometry: columns outside the content are
+    # exactly 128 in both paths
+    np.testing.assert_array_equal(imgs[0][:, :pad_x], 128)
+    np.testing.assert_array_equal(imgs[0][:, pad_x + 36:], 128)
+    np.testing.assert_array_equal(ref[:, :pad_x], 128)
+    np.testing.assert_array_equal(ref[:, pad_x + 36:], 128)

@@ -129,3 +129,63 @@ def test_port_legacy_h5_format(tmp_path):
     np.testing.assert_allclose(
         np.asarray(ported['params']['PredictConv_0']['Conv_0']['bias']),
         specs[4][1]['bias:0'], rtol=1e-6)
+
+
+class MiniFlaxSeparable(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        from multigriddet_tpu.models.layers import SeparableConvBN
+        x = ConvBN(8, 3)(x, train)
+        x = SeparableConvBN(16, 3)(x, train)
+        return PredictConv(4)(x)
+
+
+def _mini_keras_separable():
+    from tensorflow.keras import layers as L
+    inp = L.Input(shape=(16, 16, 3))
+    x = L.Conv2D(8, 3, padding='same', use_bias=False)(inp)
+    x = L.BatchNormalization(epsilon=1e-3)(x)
+    x = L.LeakyReLU(negative_slope=0.1)(x)
+    # depthwise-separable block, as the reference's lite models use
+    # (reference layers.py:75-95)
+    x = L.DepthwiseConv2D(3, padding='same', use_bias=False)(x)
+    x = L.BatchNormalization(epsilon=1e-3)(x)
+    x = L.LeakyReLU(negative_slope=0.1)(x)
+    x = L.Conv2D(16, 1, padding='same', use_bias=False)(x)
+    x = L.BatchNormalization(epsilon=1e-3)(x)
+    x = L.LeakyReLU(negative_slope=0.1)(x)
+    out = L.Conv2D(4, 1, padding='same')(x)
+    return tf.keras.Model(inp, out)
+
+
+def test_port_depthwise_separable_numerics(tmp_path):
+    """Keras DepthwiseConv2D kernels are (k,k,C,1); flax depthwise convs
+    store (k,k,1,C).  Porting must transpose, not silently skip, or lite
+    models keep random depthwise weights."""
+    keras_model = _mini_keras_separable()
+    rng = np.random.RandomState(2)
+    for layer in keras_model.layers:
+        ws = layer.get_weights()
+        if ws:
+            layer.set_weights([rng.randn(*w.shape).astype(np.float32) * 0.5
+                               for w in ws])
+    for layer in keras_model.layers:
+        if isinstance(layer, tf.keras.layers.BatchNormalization):
+            g, b, m, v = layer.get_weights()
+            layer.set_weights([g, b, m, np.abs(v) + 0.5])
+
+    h5 = tmp_path / 'sep.weights.h5'
+    keras_model.save_weights(str(h5))
+
+    model = MiniFlaxSeparable()
+    x = np.random.RandomState(3).rand(2, 16, 16, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    ported = port_keras_weights(str(h5), variables, model=model,
+                                input_hw=(16, 16))
+
+    got = np.asarray(model.apply(
+        {'params': ported['params'], 'batch_stats': ported['batch_stats']},
+        jnp.asarray(x), train=False))
+    want = keras_model(x, training=False).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

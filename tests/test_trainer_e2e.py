@@ -319,3 +319,85 @@ def test_evaluator_tolerates_missing_image_and_raises_on_io_error(
     monkeypatch.setattr(ann_mod.HostImageLoader, 'load_batch', boom)
     with pytest.raises(OSError, match='io error mid-eval'):
         ev2.evaluate()
+
+
+def test_trainer_resume_across_freeze_boundary(dataset, tmp_path):
+    """Resuming a two-stage run from a checkpoint saved AFTER the unfreeze
+    must restore into the stage-2 optimizer template (a stage-1
+    multi_transform template cannot hold a plain opt_state tree), and a
+    stage-1 checkpoint resumed into stage 2 falls back to params+fresh
+    optimizer instead of crashing."""
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import MultiGridTrainer
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+
+    # run 1: two-stage run completes epochs 0..2 (checkpoints every epoch;
+    # the latest checkpoint carries stage-2 opt_state)
+    config = load_config(str(cfg_path), config_type='train')
+    config['training']['transfer_epochs'] = 1
+    config['training']['epochs'] = 3
+    MultiGridTrainer(config).train()
+
+    # resume with one more epoch: must select stage 2, restore the
+    # stage-2 checkpoint, and train ONLY epoch 3
+    config2 = load_config(str(cfg_path), config_type='train')
+    config2['training']['transfer_epochs'] = 1
+    config2['training']['epochs'] = 4
+    config2['resume'] = {'enabled': True}
+    history = MultiGridTrainer(config2).train()
+    assert [h['epoch'] for h in history] == [3]
+
+    # cross-boundary fallback: a fresh run whose checkpoints all live in
+    # stage 1, resumed into stage 2
+    out2 = tmp_path / 'b'
+    out2.mkdir()
+    cfg_path2 = _write_config(root, ann, classes, anchors, out2)
+    config3 = load_config(str(cfg_path2), config_type='train')
+    config3['training']['transfer_epochs'] = 1
+    config3['training']['epochs'] = 1  # stage 1 only
+    MultiGridTrainer(config3).train()
+    config4 = load_config(str(cfg_path2), config_type='train')
+    config4['training']['transfer_epochs'] = 1
+    config4['training']['epochs'] = 2
+    config4['resume'] = {'enabled': True}
+    history4 = MultiGridTrainer(config4).train()
+    assert [h['epoch'] for h in history4] == [1]
+
+
+def test_cosine_schedule_continues_across_unfreeze(dataset, tmp_path,
+                                                   monkeypatch):
+    """Stage 2's fresh optimizer must not restart the warmup/cosine from
+    step 0: the schedule is shifted by the epochs already trained, like
+    the reference's global-epoch CosineAnnealingWithWarmup callback."""
+    import multigriddet_tpu.training.trainer as trainer_mod
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import MultiGridTrainer
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+    config = load_config(str(cfg_path), config_type='train')
+    config['training']['transfer_epochs'] = 2
+    config['training']['epochs'] = 4
+    config['lr_schedule'] = {'type': 'cosine_annealing',
+                             'warmup_epochs': 1, 'min_lr': 1e-7}
+
+    captured = []
+    orig = trainer_mod.create_optimizer_from_config
+
+    def spy(cfg, lr, **kw):
+        captured.append(lr)
+        return orig(cfg, lr, **kw)
+
+    monkeypatch.setattr(trainer_mod, 'create_optimizer_from_config', spy)
+    trainer = MultiGridTrainer(config)
+    trainer.train()
+    assert len(captured) == 2  # one schedule per stage
+    s1, s2 = captured
+    updates_per_epoch = max(len(trainer.train_gen), 1)
+    # stage 2 continues where stage 1 left off (2 epochs in), far from
+    # the warmup restart value
+    assert float(s2(0)) == pytest.approx(
+        float(s1(2 * updates_per_epoch)), rel=1e-6)
+    assert float(s2(0)) != pytest.approx(float(s1(0)), rel=1e-3)

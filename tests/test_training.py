@@ -204,3 +204,85 @@ def test_bn_recalibration_matches_batch_moments():
     gap = max(float(jnp.abs(a - b).max())
               for a, b in zip(out_train, out_stale))
     assert gap > 0.1
+
+
+def test_frozen_backbone_bn_stats_frozen(setup):
+    """freeze_level=1 must freeze the backbone's BatchNorm alongside its
+    params (the reference's Keras trainable=False puts BN in inference
+    mode); head BN keeps training.  freeze_level=2 freezes every BN."""
+    import flax
+    model, variables, images, y_true = setup
+    mesh = make_mesh()
+    tx1 = partition_optimizer(optax.adam(1e-3), variables['params'], 1)
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], optax.identity())
+    state = state.replace(opt_state=tx1.init(variables['params']))
+    step1 = make_train_step(model, tx1, ANCHORS, C, HW, mesh=mesh,
+                            donate=False, freeze_level=1)
+    new_state, _ = step1(state, *shard_batch(mesh, images), y_true)
+    f0 = flax.traverse_util.flatten_dict(variables['batch_stats'])
+    f1 = flax.traverse_util.flatten_dict(new_state.batch_stats)
+    assert set(f0) == set(f1)
+    head_changed = 0
+    for k in f0:
+        name = '/'.join(str(p) for p in k)
+        if name.startswith('backbone'):
+            np.testing.assert_array_equal(
+                np.asarray(f0[k]), np.asarray(f1[k]),
+                err_msg=f'frozen backbone BN stat updated: {name}')
+        elif not np.allclose(np.asarray(f0[k]), np.asarray(f1[k])):
+            head_changed += 1
+    assert head_changed > 0  # head BN still trains
+
+    tx2 = partition_optimizer(optax.adam(1e-3), variables['params'], 2)
+    state2 = create_train_state(variables['params'],
+                                variables['batch_stats'], optax.identity())
+    state2 = state2.replace(opt_state=tx2.init(variables['params']))
+    step2 = make_train_step(model, tx2, ANCHORS, C, HW, mesh=mesh,
+                            donate=False, freeze_level=2)
+    out2, _ = step2(state2, *shard_batch(mesh, images), y_true)
+    f2 = flax.traverse_util.flatten_dict(out2.batch_stats)
+    for k in f0:
+        np.testing.assert_array_equal(np.asarray(f0[k]), np.asarray(f2[k]))
+
+
+def test_bn_recalibration_measures_per_layer_momentum():
+    """Models mixing BN momenta (ResNet hardcodes 0.9, ConvBN defaults
+    0.99) must calibrate correctly even when the caller's bn_momentum
+    hint is wrong for some layers: the momentum is measured per leaf."""
+    from multigriddet_tpu.training import calibrate_batch_stats
+
+    class TwoMomenta(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (1, 1))(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9)(x)
+            x = nn.Conv(4, (1, 1))(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.99)(x)
+            return (x,)
+
+    model = TwoMomenta()
+    images = jnp.asarray(
+        np.random.RandomState(5).rand(4, 8, 8, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+    stale = jax.tree_util.tree_map(lambda x: x + 2.0,
+                                   variables['batch_stats'])
+    # bn_momentum=0.99 is WRONG for the first BN; must not matter
+    calibrated = calibrate_batch_stats(
+        model, variables['params'], stale, [images], max_batches=1,
+        bn_momentum=0.99)
+    out_train = model.apply(
+        {'params': variables['params'], 'batch_stats': stale}, images,
+        train=True, mutable=['batch_stats'])[0]
+    out_eval = model.apply(
+        {'params': variables['params'], 'batch_stats': calibrated},
+        images, train=False)
+    np.testing.assert_allclose(np.asarray(out_train[0]),
+                               np.asarray(out_eval[0]), atol=5e-3)
+    import flax
+    flat = flax.traverse_util.flatten_dict(calibrated)
+    for k, v in flat.items():
+        if k[-1] == 'var':
+            assert (np.asarray(v) >= 0).all()
