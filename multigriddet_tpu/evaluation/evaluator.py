@@ -141,20 +141,24 @@ class MultiGridEvaluator:
                     for bi, line in enumerate(chunk):
                         img_path, gt_boxes = parse_annotation_line(line)
                         raw = None
+                        failed = False
                         try:
                             with Image.open(img_path) as img:
                                 iw, ih = img.size
                                 if save_imgs and start + bi < max_save:
                                     raw = np.asarray(img.convert('RGB'))
                         except Exception as exc:
-                            # the loader already fed a gray canvas for this
-                            # slot; count the image honestly (its GT becomes
-                            # misses) instead of killing the whole eval
+                            # the loader fed a gray canvas for this slot;
+                            # count the image honestly (its GT becomes
+                            # misses, its predictions empty — gray-canvas
+                            # hallucinations must not enter mAP as FPs)
                             print(f'WARNING: cannot read {img_path} '
                                   f'({type(exc).__name__}); counting its '
                                   f'ground truth as missed')
                             ih, iw = self.input_hw
-                        metas.append((start + bi, gt_boxes, ih, iw, raw))
+                            failed = True
+                        metas.append((start + bi, gt_boxes, ih, iw, raw,
+                                      failed))
                     q.put((batch_arr, metas))
                 q.put(None)
             except BaseException as exc:
@@ -175,8 +179,9 @@ class MultiGridEvaluator:
             packed = self._infer(self.variables, jnp.asarray(batch_arr))
             bxs, cls, scs, valid = unpack_detections(packed)  # one fetch
             t_infer += time.time() - t0
-            for bi, (img_id, gt_boxes, ih, iw, raw) in enumerate(metas):
-                keep = valid[bi]
+            for bi, (img_id, gt_boxes, ih, iw, raw,
+                     failed) in enumerate(metas):
+                keep = valid[bi] if not failed else np.zeros_like(valid[bi])
                 b, c, s = bxs[bi][keep], cls[bi][keep], scs[bi][keep]
                 if self.use_wbf:
                     from ..postprocess.wbf import fuse_and_cap

@@ -187,7 +187,12 @@ class MultiGridInference:
         from collections import deque
 
         from ..data.native import load_letterbox_batch, native_available
-        if not native_available():
+        # the native loader decodes JPEG only: a mixed/non-JPEG file list
+        # would fail every native pass and serialize on per-slot PIL
+        # retries, so gate it like HostImageLoader does
+        all_jpeg = all(p.lower().endswith(('.jpg', '.jpeg'))
+                       for p in paths)
+        if not native_available() or not all_jpeg:
             empty = (np.zeros((0, 4), np.float32),
                      np.zeros((0,), np.int32), np.zeros((0,), np.float32))
             imgs, good_idx = [], []

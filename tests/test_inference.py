@@ -337,9 +337,10 @@ def test_video_pipelining_frame_integrity(config, tmp_path, monkeypatch):
 
 
 def test_detect_files_native_path_handles_png(config, tmp_path):
-    """The native loader decodes JPEG only; detect_files must retry
-    non-JPEG (and any native-decode failure) with PIL so a valid PNG
-    produces the same detections as the PIL path, not a silent empty."""
+    """The native loader decodes JPEG only; a non-JPEG list must route to
+    the batched PIL path (not fail every native pass), and a PNG saved
+    under a .jpg name — which defeats the extension gate — must still get
+    real detections via the per-slot PIL retry, not a silent empty."""
     from multigriddet_tpu.data.native import native_available
     if not native_available():
         pytest.skip('native loader not built')
@@ -359,3 +360,13 @@ def test_detect_files_native_path_handles_png(config, tmp_path):
     if len(nb):
         np.testing.assert_allclose(nb, pb, atol=1e-4)
         np.testing.assert_array_equal(nc, pc)
+
+    # a PNG disguised as .jpg passes the extension gate, fails libjpeg,
+    # and must be recovered by the native path's per-slot PIL retry
+    fake_jpg = tmp_path / 'disguised.jpg'
+    Image.fromarray(arr).save(fake_jpg, format='PNG')
+    results2 = engine.detect_files([str(fake_jpg), str(jpg)], batch_size=2)
+    db = results2[0][0]
+    assert len(db) == len(pb)
+    if len(db):
+        np.testing.assert_allclose(db, pb, atol=1e-4)

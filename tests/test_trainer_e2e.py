@@ -307,6 +307,10 @@ def test_evaluator_tolerates_missing_image_and_raises_on_io_error(
     results = ev.evaluate()
     assert results['num_images'] == 5
     assert len(ev.ground_truths) == 5  # nothing truncated
+    # the unreadable slot (index 2) keeps its GT (misses) but must NOT
+    # contribute gray-canvas hallucinations as false positives
+    assert len(ev.predictions[2]['boxes']) == 0
+    assert len(ev.ground_truths[2]['boxes']) == 1
     assert 'cannot read' in capsys.readouterr().out
 
     ev2 = MultiGridEvaluator(cfg)
