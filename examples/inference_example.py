@@ -8,8 +8,6 @@ import sys
 # run from a source checkout without installing
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import sys
-
 from PIL import Image
 
 from multigriddet_tpu.config import load_config

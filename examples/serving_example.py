@@ -30,11 +30,17 @@ def main():
         config = load_config('configs/infer_config.yaml',
                              config_type='infer')
         engine = MultiGridInference(config)
+        # mirror EVERY configured postprocess knob (as tools/
+        # export_serving.py does) so the artifact can't silently
+        # disagree with the live engine's keep-sets
         export_serving(engine.model, engine.variables,
                        engine.spec['anchors'], engine.input_hw, out_dir,
                        batch_sizes=[1, 8], class_names=engine.class_names,
                        confidence=engine.confidence,
                        nms_threshold=engine.nms_threshold,
+                       nms_method=engine.nms_method,
+                       use_iol=engine.use_iol,
+                       class_aware=engine.class_aware,
                        max_boxes=engine.max_boxes,
                        pre_nms_top_k=engine.pre_nms_top_k)
         print(f'exported -> {out_dir}/')

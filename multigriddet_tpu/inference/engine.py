@@ -413,9 +413,17 @@ class MultiGridInference:
             video_cfg = self.config.get('video', {}) or {}
             return self.predict_video(
                 source, out_path,
+                show=bool(output_cfg.get('show_result', False)),
                 pipeline_depth=int(video_cfg.get('pipeline_depth', 2)),
                 batch_size=int(video_cfg.get('batch_size', 8)))
         if kind == 'camera':
+            # input.source carries the device id when given ("--input 1",
+            # reference inference_engine.py:349-441); camera.device_id is
+            # the config-file spelling
             cam = self.config.get('camera', {}) or {}
-            return self.predict_camera(int(cam.get('device_id', 0)))
+            device = (int(source) if source is not None
+                      and str(source).isdigit()
+                      else int(cam.get('device_id', 0)))
+            return self.predict_camera(
+                device, show=bool(output_cfg.get('show_result', True)))
         raise ValueError(f'unknown input type {kind!r}')

@@ -128,8 +128,11 @@ class MultiGridTrainer:
         self.init_params = variables['params']
         self.init_batch_stats = variables.get('batch_stats', {})
 
+        # pretrained weights load whenever a path is given; resume.enabled
+        # gates ONLY the checkpoint restore (optimizer state + epoch) —
+        # the reference's exact contract (reference trainer.py:308-322)
         resume = self.config.get('resume', {}) or {}
-        if resume.get('enabled') and resume.get('weights_path'):
+        if resume.get('weights_path'):
             self.init_params = load_params(resume['weights_path'],
                                            self.init_params)
             print(f"Loaded full weights from {resume['weights_path']}")

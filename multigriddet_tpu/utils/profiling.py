@@ -27,6 +27,85 @@ def trace(log_dir: Optional[str]):
         jax.profiler.stop_trace()
 
 
+_NULL_WALL: Dict[int, float] = {}
+_PEAK_BF16 = 197e12  # v5e bf16 peak FLOP/s
+
+
+def null_wall(loop: int = 16, repeats: int = 10) -> float:
+    """Per-dispatch wall floor of a runtime-trivial jitted program.
+
+    Through the axon tunnel every independent dispatch pays a ~29.5 ms
+    round trip; ``timed_op`` subtracts this floor so sub-RTT programs
+    are measurable.  Cached per ``loop`` for the process lifetime.
+    """
+    if loop in _NULL_WALL:
+        return _NULL_WALL[loop]
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prog(s):
+        return jax.lax.fori_loop(0, loop, lambda i, a: a * 0.9999 + 1e-6, s)
+
+    for _ in range(2):
+        float(prog(jnp.float32(1.0)))
+    t0 = time.time()
+    outs = [prog(jnp.float32(1.0)) for _ in range(repeats)]
+    _ = [float(o) for o in outs]
+    _NULL_WALL[loop] = (time.time() - t0) / repeats
+    return _NULL_WALL[loop]
+
+
+def timed_op(fn, *args, loop: int = 16, repeats: int = 3,
+             with_mfu: bool = False):
+    """Per-call wall time of ``fn(*args)`` as ``loop`` serialized
+    in-program iterations (single timing implementation for the tools/
+    bench harnesses — fix measurement bugs HERE, once).
+
+    Through the tunnel, independent dispatches do not pipeline — every
+    call pays the RTT, which floors any program cheaper than that.  So
+    the op is looped INSIDE one jitted program, serialized by a
+    runtime-tiny scalar (~1e-30, numerically a no-op) that perturbs the
+    first argument so XLA's loop-invariant code motion cannot hoist the
+    body.  The residual per-program dispatch cost (``null_wall``) is
+    subtracted.
+
+    Returns seconds/call, or ``(seconds, mfu)`` when ``with_mfu`` —
+    MFU from XLA's cost analysis (a while-loop body is counted ONCE,
+    so the looped program's flops ARE the per-call flops) against the
+    v5e bf16 peak.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def body(s, first, rest):
+        out = fn(first * (1.0 + s), *rest)
+        leaf = jax.tree.leaves(out)[0]
+        return jnp.reshape(leaf, (-1,))[0].astype(jnp.float32) * 1e-30
+
+    jitted = jax.jit(lambda first, *rest: jax.lax.fori_loop(
+        0, loop, lambda i, s: body(s, first, rest), jnp.float32(0.0)))
+    first, rest = args[0], args[1:]
+    for _ in range(2):  # tunnel warm-up beyond compile
+        float(jitted(first, *rest))
+    t0 = time.time()
+    outs = [jitted(first, *rest) for _ in range(repeats)]
+    _ = sum(float(o) for o in outs)
+    dt = max((time.time() - t0) / repeats - null_wall(loop), 1e-9) / loop
+    if not with_mfu:
+        return dt
+    flops = None
+    try:
+        cost = jitted.lower(first, *rest).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get('flops', 0.0))
+    except Exception:
+        pass
+    mfu = flops / dt / _PEAK_BF16 if flops else float('nan')
+    return dt, mfu
+
+
 class PhaseTimer:
     """Accumulating named phase timers (reference evaluator.py:307-525)."""
 

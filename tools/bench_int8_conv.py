@@ -27,15 +27,20 @@ LOOP = 32
 
 
 def timed(make_prog, x, w, repeats=3):
-    def body(i, s):
-        # perturb the input by the loop counter so the conv is NOT
-        # loop-invariant (XLA hoists an unperturbed body to one call)
-        xp = x + (i % 2).astype(x.dtype)
-        out = make_prog(xp, w)
-        return s + jnp.reshape(out, (-1,))[0].astype(jnp.float32) * 1e-30
+    # the body must reference the JIT PARAMETERS (xa/wa), not the outer
+    # arrays — closing over x/w would bake the 44-64 MB operands into
+    # the executable as constants and leave the traced args dead
+    def run(xa, wa):
+        def body(i, s):
+            # perturb the input by the loop counter so the conv is NOT
+            # loop-invariant (XLA hoists an unperturbed body to one call)
+            xp = xa + (i % 2).astype(xa.dtype)
+            out = make_prog(xp, wa)
+            return s + jnp.reshape(out, (-1,))[0].astype(jnp.float32) * 1e-30
 
-    jitted = jax.jit(lambda x, w: jax.lax.fori_loop(
-        0, LOOP, body, jnp.float32(0.0)))
+        return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0.0))
+
+    jitted = jax.jit(run)
     for _ in range(2):
         float(jitted(x, w))
     t0 = time.time()

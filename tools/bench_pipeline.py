@@ -52,31 +52,27 @@ def make_dataset(root):
     """Synthesize N_IMAGES JPEGs (640x480, 1-6 boxes) + annotation lines."""
     from PIL import Image, ImageDraw
     os.makedirs(root, exist_ok=True)
-    rng = np.random.RandomState(0)
     lines = []
     for i in range(N_IMAGES):
+        # per-image seeded stream: regeneration (file exists) consumes
+        # exactly the same draws as creation, so the annotations always
+        # match the rectangles actually in the JPEGs, regardless of which
+        # files were already on disk
+        rng = np.random.RandomState(1000 + i)
+        pixels = rng.randint(0, 255, (480, 640, 3)).astype('uint8')
         path = os.path.join(root, f'bench_{i:03d}.jpg')
+        img = Image.fromarray(pixels)
+        d = ImageDraw.Draw(img)
+        parts = []
+        for _ in range(rng.randint(1, 7)):
+            x1, y1 = rng.randint(0, 540), rng.randint(0, 380)
+            w, h = rng.randint(30, 100), rng.randint(30, 100)
+            c = rng.randint(0, NUM_CLASSES)
+            d.rectangle([x1, y1, x1 + w, y1 + h],
+                        outline=(255, 0, 0), width=3)
+            parts.append(f'{x1},{y1},{x1+w},{y1+h},{c}')
         if not os.path.exists(path):
-            img = Image.fromarray(
-                rng.randint(0, 255, (480, 640, 3)).astype('uint8'))
-            d = ImageDraw.Draw(img)
-            parts = []
-            for _ in range(rng.randint(1, 7)):
-                x1, y1 = rng.randint(0, 540), rng.randint(0, 380)
-                w, h = rng.randint(30, 100), rng.randint(30, 100)
-                c = rng.randint(0, NUM_CLASSES)
-                d.rectangle([x1, y1, x1 + w, y1 + h],
-                            outline=(255, 0, 0), width=3)
-                parts.append(f'{x1},{y1},{x1+w},{y1+h},{c}')
             img.save(path, quality=90)
-        else:
-            # regenerate the same boxes deterministically
-            parts = []
-            for _ in range(rng.randint(1, 7)):
-                x1, y1 = rng.randint(0, 540), rng.randint(0, 380)
-                w, h = rng.randint(30, 100), rng.randint(30, 100)
-                c = rng.randint(0, NUM_CLASSES)
-                parts.append(f'{x1},{y1},{x1+w},{y1+h},{c}')
         lines.append(path + ' ' + ' '.join(parts))
     return lines
 

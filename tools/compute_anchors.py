@@ -90,6 +90,10 @@ def main():
     mean_iou = float(np.mean(np.max(iou_wh(wh, centers), axis=1)))
     print(f'{len(wh)} boxes -> {args.num_anchors} anchors, '
           f'mean best-IoU {mean_iou:.3f}')
+    if args.num_anchors % args.scales:
+        p.error(f'--num-anchors {args.num_anchors} must be divisible by '
+                f'--scales {args.scales}; otherwise anchors would be '
+                'silently dropped from the output file')
     per_line = args.num_anchors // args.scales
     lines = []
     # largest anchors on the first (coarsest) line, reference convention

@@ -59,51 +59,12 @@ ANCHORS = [
 ]
 
 
+from multigriddet_tpu.utils.profiling import (  # noqa: E402
+    null_wall, timed_op)
+
+
 def timed(fn, *args, repeats=3):
-    def body(s, images, rest):
-        out = fn(images * (1.0 + s), *rest)
-        leaf = jax.tree.leaves(out)[0]
-        return jnp.reshape(leaf, (-1,))[0].astype(jnp.float32) * 1e-30
-
-    jitted = jax.jit(lambda images, *rest: jax.lax.fori_loop(
-        0, LOOP, lambda i, s: body(s, images, rest), jnp.float32(0.0)))
-    images, rest = args[0], args[1:]
-    for _ in range(2):
-        float(jitted(images, *rest))
-    t0 = time.time()
-    outs = [jitted(images, *rest) for _ in range(repeats)]
-    _ = sum(float(o) for o in outs)
-    dt = max((time.time() - t0) / repeats - null_wall(), 1e-9) / LOOP
-    flops = None
-    try:
-        cost = jitted.lower(images, *rest).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get('flops', 0.0))
-    except Exception:
-        pass
-    mfu = flops / dt / PEAK_BF16 if flops else float('nan')
-    return dt, mfu
-
-
-_null = []
-
-
-def null_wall(repeats=10):
-    if _null:
-        return _null[0]
-
-    @jax.jit
-    def prog(s):
-        return jax.lax.fori_loop(0, LOOP, lambda i, a: a * 0.9999 + 1e-6, s)
-
-    for _ in range(2):
-        float(prog(jnp.float32(1.0)))
-    t0 = time.time()
-    outs = [prog(jnp.float32(1.0)) for _ in range(repeats)]
-    _ = [float(o) for o in outs]
-    _null.append((time.time() - t0) / repeats)
-    return _null[0]
+    return timed_op(fn, *args, loop=LOOP, repeats=repeats, with_mfu=True)
 
 
 def main():

@@ -50,66 +50,11 @@ ANCHORS = [
 LOOP = 16
 
 
+from multigriddet_tpu.utils.profiling import timed_op  # noqa: E402
+
+
 def timed(fn, *args, repeats=3):
-    """Per-call wall time of ``fn(*args)``, measured as LOOP serialized
-    in-program iterations.
-
-    Through the axon tunnel, INDEPENDENT dispatches do not pipeline —
-    every call pays the ~29.5 ms round trip, which floors any program
-    cheaper than that (measured: every conv shape "cost" exactly ~29.5
-    ms regardless of size).  So the op must be looped INSIDE one jitted
-    program, serialized by a runtime-tiny scalar (~1e-30, numerically a
-    no-op) that perturbs the images so XLA's loop-invariant code motion
-    cannot hoist the body.  The residual per-program dispatch cost is
-    measured by ``null_wall`` and subtracted.
-    """
-    def body(s, images, rest):
-        out = fn(images * (1.0 + s), *rest)
-        leaf = jax.tree.leaves(out)[0]
-        return jnp.reshape(leaf, (-1,))[0].astype(jnp.float32) * 1e-30
-
-    jitted = jax.jit(lambda images, *rest: jax.lax.fori_loop(
-        0, LOOP, lambda i, s: body(s, images, rest), jnp.float32(0.0)))
-    images, rest = args[0], args[1:]
-    for _ in range(2):  # tunnel warm-up beyond compile
-        float(jitted(images, *rest))
-    t0 = time.time()
-    outs = [jitted(images, *rest) for _ in range(repeats)]
-    _ = sum(float(o) for o in outs)
-    dt = max((time.time() - t0) / repeats - null_wall(), 1e-9) / LOOP
-    flops = None
-    try:
-        cost = jitted.lower(images, *rest).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        # XLA's cost analysis counts a while-loop body ONCE (not trip
-        # count x body), so the looped program's flops ARE the per-call
-        # flops (verified against the known 45M-flagship fwd count)
-        flops = float(cost.get('flops', 0.0))
-    except Exception:
-        pass
-    mfu = flops / dt / PEAK_BF16 if flops else float('nan')
-    return dt, mfu
-
-
-_null = []
-
-
-def null_wall(repeats=10):
-    if _null:
-        return _null[0]
-
-    @jax.jit
-    def prog(s):
-        return jax.lax.fori_loop(0, LOOP, lambda i, a: a * 0.9999 + 1e-6, s)
-
-    for _ in range(2):
-        float(prog(jnp.float32(1.0)))
-    t0 = time.time()
-    outs = [prog(jnp.float32(1.0)) for _ in range(repeats)]
-    _ = [float(o) for o in outs]
-    _null.append((time.time() - t0) / repeats)
-    return _null[0]
+    return timed_op(fn, *args, loop=LOOP, repeats=repeats, with_mfu=True)
 
 
 def main():

@@ -41,7 +41,9 @@ def apply_overrides(config, args):
         training['learning_rate'] = args.learning_rate
     resume = config.setdefault('resume', {})
     if args.weights:
-        resume['enabled'] = True
+        # weights load at model build; resume.enabled gates only the
+        # checkpoint restore (reference train.py:96-106 contract) — a
+        # stale checkpoint dir must not override a fine-tune request
         resume['weights_path'] = args.weights
     if args.backbone_weights:
         resume['backbone_weights_path'] = args.backbone_weights
