@@ -164,6 +164,35 @@ def test_video_config_reaches_predict_video(config, monkeypatch):
     assert seen['pipeline_depth'] == 1
 
 
+def test_camera_dispatch_source_and_show(config, monkeypatch):
+    """run() with input.type=camera takes the device id from input.source
+    when numeric ("--input 1", reference inference_engine.py:349-441),
+    falls back to camera.device_id otherwise, and forwards
+    output.show_result."""
+    cases = [
+        # (input.source, camera block, expected device)
+        ('1', {}, 1),
+        (None, {'device_id': 2}, 2),
+        ('not-a-number', {'device_id': 3}, 3),
+    ]
+    for source, cam, want in cases:
+        cfg = dict(config)
+        cfg['input'] = {'type': 'camera', 'source': source}
+        cfg['camera'] = cam
+        cfg['output'] = {'show_result': False}
+        engine = MultiGridInference(cfg)
+        seen = {}
+
+        def fake(device, show=True):
+            seen.update(device=device, show=show)
+            return 0
+
+        monkeypatch.setattr(engine, 'predict_camera', fake)
+        engine.run()
+        assert seen['device'] == want, (source, cam)
+        assert seen['show'] is False
+
+
 def test_engine_nms_backend_and_pool_knobs(config):
     """detection.nms_backend / pre_nms_top_k reach the fused step and the
     pallas backend produces the same detections as the xla default."""

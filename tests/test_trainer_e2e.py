@@ -152,6 +152,35 @@ def test_trainer_resume_from_checkpoint(dataset, tmp_path):
     assert len(history) <= 1 or all(h['epoch'] >= 1 for h in history[1:])
 
 
+def test_weights_load_without_resume_enabled(dataset, tmp_path):
+    """Pretrained weights (resume.weights_path) load at model build even
+    when resume.enabled is off — enabled gates only the CHECKPOINT
+    restore (reference trainer.py:308-322 contract: a stale checkpoint
+    dir must not override a fine-tune request)."""
+    import jax
+    import jax.numpy as jnp
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import MultiGridTrainer
+    from multigriddet_tpu.training.checkpoint import save_params
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+    config = load_config(str(cfg_path), config_type='train')
+    base = MultiGridTrainer(config)
+    base.build_model()
+    marked = jax.tree.map(lambda x: jnp.full_like(x, 0.125),
+                          base.init_params)
+    wpath = str(tmp_path / 'pretrained.msgpack')
+    save_params(wpath, marked)
+
+    config2 = load_config(str(cfg_path), config_type='train')
+    config2['resume'] = {'weights_path': wpath}  # no 'enabled'
+    trainer = MultiGridTrainer(config2)
+    trainer.build_model()
+    leaves = jax.tree.leaves(trainer.init_params)
+    assert all(np.allclose(np.asarray(l), 0.125) for l in leaves)
+
+
 def test_trainer_reduce_on_plateau(dataset, tmp_path):
     """The plateau path rebuilds the optimizer with a reduced LR without
     crashing, and training completes."""
