@@ -220,22 +220,36 @@ def make_lr_schedule(config: Dict[str, Any], steps_per_epoch: int,
 
 def _make_optimizer(kind: str, learning_rate, opt_cfg: Dict[str, Any]
                     ) -> optax.GradientTransformation:
+    if kind in ('adam', 'sgd') and opt_cfg.get('decay'):
+        # The reference passes `decay` through to Keras 3, which warns
+        # "Argument `decay` is no longer supported and will be ignored"
+        # (verified against its pinned Keras) — so a nonzero value is a
+        # silent no-op there.  Mirror that contract loudly.
+        import warnings
+        warnings.warn(f"optimizer.decay is ignored for {kind} (the "
+                      "reference's Keras 3 runtime ignores it too); use "
+                      "adamw with weight_decay for decoupled decay")
     if kind == 'adam':
         return optax.adam(learning_rate,
                           b1=float(opt_cfg.get('beta_1', 0.9)),
                           b2=float(opt_cfg.get('beta_2', 0.999)),
                           eps=float(opt_cfg.get('epsilon', 1e-7)))
     if kind == 'adamw':
+        # the reference accepts `decay` as an alias for weight_decay here
+        # (model_builder.py:58); default 5e-4 matches its fallback
         return optax.adamw(learning_rate,
                            b1=float(opt_cfg.get('beta_1', 0.9)),
                            b2=float(opt_cfg.get('beta_2', 0.999)),
                            eps=float(opt_cfg.get('epsilon', 1e-7)),
                            weight_decay=float(
-                               opt_cfg.get('weight_decay', 5e-4)))
+                               opt_cfg.get('weight_decay',
+                                           opt_cfg.get('decay', 5e-4))))
     if kind == 'sgd':
+        # reference defaults: momentum 0.937, nesterov False
+        # (model_builder.py:73-75)
         return optax.sgd(learning_rate,
-                         momentum=float(opt_cfg.get('momentum', 0.9)),
-                         nesterov=bool(opt_cfg.get('nesterov', True)))
+                         momentum=float(opt_cfg.get('momentum', 0.937)),
+                         nesterov=bool(opt_cfg.get('nesterov', False)))
     raise ValueError(f'unknown optimizer type {kind!r}')
 
 

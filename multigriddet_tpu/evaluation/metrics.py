@@ -446,7 +446,9 @@ def _ref_average_precision(precisions: np.ndarray, recalls: np.ndarray,
     rs, ps = recalls[si], precisions[si]
     interp = np.maximum.accumulate(ps[::-1])[::-1]   # suffix max
     if len(rs) > 1:
-        return float(np.trapz(interp, rs))
+        # trapezoid == renamed trapz (numpy 2); keep the old name working
+        trapezoid = getattr(np, 'trapezoid', None) or np.trapz
+        return float(trapezoid(interp, rs))
     return float(interp[0] * rs[0])
 
 

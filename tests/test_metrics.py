@@ -141,6 +141,46 @@ def test_optimizer_and_lr_factories():
             {'optimizer': {'type': kind}}) is not None
 
 
+def test_optimizer_decay_key_parity():
+    """Reference contract for `optimizer.decay` (model_builder.py:58,74,91):
+    adamw treats it as a weight_decay alias; adam/sgd pass it to Keras 3,
+    which warns and ignores it — we mirror that with a warning."""
+    import warnings
+
+    import jax.numpy as jnp
+    import optax
+    from multigriddet_tpu.config import create_optimizer_from_config
+
+    # adamw: decay aliases weight_decay — a pure-decay step must shrink
+    # params by lr * decay exactly (decoupled decay, zero gradient moment)
+    tx = create_optimizer_from_config(
+        {'optimizer': {'type': 'adamw', 'decay': 0.5}}, 1e-2)
+    params = {'w': jnp.ones((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update({'w': jnp.zeros((3,))}, state, params)
+    assert np.allclose(np.asarray(updates['w']), -1e-2 * 0.5, atol=1e-9)
+
+    # adam/sgd: nonzero decay warns and is ignored (Keras 3 behavior)
+    for kind in ('adam', 'sgd'):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter('always')
+            tx = create_optimizer_from_config(
+                {'optimizer': {'type': kind, 'decay': 0.1}}, 1e-2)
+        assert any('decay' in str(x.message) for x in w), kind
+        assert isinstance(tx, optax.GradientTransformation)
+
+    # sgd defaults follow the reference: momentum=0.937, nesterov=False.
+    # one step from zero momentum: update = -lr * grad (no nesterov
+    # lookahead), second step shows the 0.937 momentum accumulation.
+    tx = create_optimizer_from_config({'optimizer': {'type': 'sgd'}}, 1.0)
+    state = tx.init(params)
+    g = {'w': jnp.ones((3,))}
+    u1, state = tx.update(g, state, params)
+    u2, state = tx.update(g, state, params)
+    assert np.allclose(np.asarray(u1['w']), -1.0)
+    assert np.allclose(np.asarray(u2['w']), -(1.0 + 0.937), atol=1e-6)
+
+
 def test_inject_lr_preserves_adam_moments():
     """Plateau LR reductions mutate the injected LR in the optimizer state;
     adam moments survive (Keras ReduceLROnPlateau semantics, reference
