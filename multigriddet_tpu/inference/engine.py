@@ -267,13 +267,44 @@ class MultiGridInference:
         return annotated, (boxes, classes, scores)
 
     def predict_directory(self, directory: str,
-                          output_dir: Optional[str] = None):
+                          output_dir: Optional[str] = None,
+                          batch_size: int = 16):
+        """Annotate every image in a directory.
+
+        Detection runs through the pipelined :meth:`detect_files` batch
+        path (the reference loops predict-image per file,
+        inference_engine.py:408-441 — one device round-trip each; on a
+        tunneled device that RTT dominates, so batching is ~batch_size x
+        faster).  Per-image console lines and annotated outputs keep the
+        reference's contract; unreadable files yield empty detections
+        with a warning.
+        """
         paths = sorted(
             p for p in glob.glob(os.path.join(directory, '*'))
             if p.lower().endswith(_IMG_EXTS))
+        t0 = time.time()
+        detections = self.detect_files(paths, batch_size=batch_size)
+        dt = time.time() - t0
         results = []
-        for p in paths:
-            results.append(self.predict_image(p, output_dir))
+        for p, (boxes, classes, scores) in zip(paths, detections):
+            print(f'{os.path.basename(p)}: {len(boxes)} objects')
+            try:
+                with Image.open(p) as im:
+                    rgb = np.asarray(im.convert('RGB'))
+            except Exception as exc:
+                print(f'WARNING: could not read {p} for annotation: {exc}')
+                results.append((None, (boxes, classes, scores)))
+                continue
+            annotated = draw_boxes(rgb, boxes, classes, scores,
+                                   self.class_names, self.colors)
+            if output_dir:
+                os.makedirs(output_dir, exist_ok=True)
+                Image.fromarray(annotated).save(
+                    os.path.join(output_dir, os.path.basename(p)))
+            results.append((annotated, (boxes, classes, scores)))
+        if paths:
+            print(f'{len(paths)} images in {dt:.2f}s '
+                  f'({len(paths)/max(dt, 1e-9):.1f} img/s detection)')
         return results
 
     def predict_video(self, source, output_path: Optional[str] = None,
