@@ -8,6 +8,32 @@ data-parallel execution over a jax.sharding.Mesh.
 
 __version__ = '0.1.0'
 
+
+def _enable_persistent_compile_cache():
+    """Turn on JAX's persistent compilation cache unless configured.
+
+    The flagship model costs 60-130 s to compile; without this every CLI
+    invocation re-pays it.  Respects an existing setting (user config or
+    JAX_COMPILATION_CACHE_DIR env) and never fails the import — jax may
+    be absent or too old in doc-build environments.
+    """
+    import os
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir:  # already configured
+            return
+        path = os.environ.get(
+            'MULTIGRIDDET_CACHE_DIR',
+            os.path.join(os.path.expanduser('~'), '.cache',
+                         'multigriddet_tpu', 'jax_cache'))
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
+
 # Subpackages are imported lazily so `import multigriddet_tpu` stays cheap
 # (importing models pulls in flax; training pulls optax/orbax).
 _SUBPACKAGES = ('ops', 'models', 'losses', 'data', 'config', 'training',

@@ -78,10 +78,14 @@ class CheckpointManager:
                   'stage (saved across a freeze boundary); restored '
                   'params/batch_stats/step with a fresh optimizer state')
             import jax.numpy as jnp
-            return state_template.replace(
+            restored = state_template.replace(
                 step=jnp.asarray(raw['step'], jnp.int32),
                 params=raw['params'],
                 batch_stats=raw['batch_stats'])
+            if (state_template.ema_params is not None
+                    and raw.get('ema_params') is not None):
+                restored = restored.replace(ema_params=raw['ema_params'])
+            return restored
 
     def restore_raw(self, step: Optional[int] = None):
         """Restore the checkpoint as a raw pytree (no template)."""

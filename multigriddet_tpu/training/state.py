@@ -22,6 +22,10 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # exponential moving average of params (training.ema_decay;
+    # beyond-reference).  None when EMA tracking is off — None is an
+    # empty pytree, so checkpoints and sharding are unaffected.
+    ema_params: Any = None
 
 
 def freeze_labels(params, freeze_level: int) -> Any:

@@ -35,7 +35,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     donate: bool = True,
                     strides: Tuple[int, ...] = (32, 16, 8),
-                    freeze_level: int = 0) -> Callable:
+                    freeze_level: int = 0,
+                    ema_decay: Optional[float] = None) -> Callable:
     """Build the jitted train step: (state, images, y_true) -> (state, metrics).
 
     With ``mesh``, inputs are expected batch-sharded and state replicated;
@@ -49,6 +50,10 @@ def make_train_step(model, tx: optax.GradientTransformation,
     its params; >=2 freezes every BN (only the BN-free predict convs
     train).  The optimizer ``tx`` must be partitioned to match
     (state.partition_optimizer).
+
+    ``ema_decay`` (beyond-reference): when set and ``state.ema_params``
+    is a tree, each step also updates
+    ``ema' = d * ema + (1 - d) * params`` inside the same XLA program.
     """
     anchors = [np.asarray(a, np.float32) for a in anchors]
 
@@ -86,9 +91,15 @@ def make_train_step(model, tx: optax.GradientTransformation,
             state.params, state.batch_stats, images, y_true)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            new_ema = jax.tree.map(
+                lambda e, p: (e * d + p.astype(e.dtype) * (1.0 - d)),
+                state.ema_params, new_params)
         new_state = state.replace(
             step=state.step + 1, params=new_params, batch_stats=new_bs,
-            opt_state=new_opt)
+            opt_state=new_opt, ema_params=new_ema)
         metrics = dict(metrics)
         metrics['loss'] = loss
         return new_state, metrics

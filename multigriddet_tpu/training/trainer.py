@@ -151,7 +151,7 @@ class MultiGridTrainer:
     # ------------------------------------------------------------------
 
     def _make_stage(self, freeze_level: int, start_epoch: int,
-                    params, batch_stats, lr_override=None):
+                    params, batch_stats, lr_override=None, ema_params=None):
         steps_per_epoch = max(len(self.train_gen), 1)
         total_epochs = int(self.training_cfg.get('epochs', 1))
         accum = int(self.training_cfg.get('gradient_accumulation', 1) or 1)
@@ -186,6 +186,18 @@ class MultiGridTrainer:
         state = create_train_state(params, batch_stats, optax.identity(),
                                    freeze_level=0)
         state = state.replace(opt_state=tx.init(params))
+        ema_decay = self.training_cfg.get('ema_decay')
+        ema_decay = float(ema_decay) if ema_decay else None
+        if ema_decay is not None:
+            # EMA weight averaging (beyond-reference): seed from the
+            # previous stage's average, or from a COPY of the current
+            # params — the train step donates its input state, and a
+            # seed aliasing params would put the same buffer in the
+            # donated arguments twice (XLA rejects double donation)
+            if ema_params is None:
+                ema_params = jax.tree.map(
+                    lambda x: jnp.array(x, copy=True), params)
+            state = state.replace(ema_params=ema_params)
         loss_cfg = loss_config_from_config(self.config)
         cw = class_weights_from_config(
             self.config, self.spec['num_classes'], self.train_lines)
@@ -193,7 +205,8 @@ class MultiGridTrainer:
         hw = tuple(self.spec['input_shape'][:2])
         train_step = make_train_step(
             self.model, tx, self.spec['anchors'], self.spec['num_classes'],
-            hw, loss_cfg, cw, mesh=self.mesh, freeze_level=freeze_level)
+            hw, loss_cfg, cw, mesh=self.mesh, freeze_level=freeze_level,
+            ema_decay=ema_decay)
         eval_step = make_eval_step(
             self.model, self.spec['anchors'], self.spec['num_classes'],
             hw, loss_cfg, cw, mesh=self.mesh)
@@ -244,6 +257,13 @@ class MultiGridTrainer:
     def _run_validation(self, state, eval_step):
         if self.val_gen is None:
             return {}
+        if (state.ema_params is not None
+                and self.training_cfg.get('ema_eval', True)):
+            # validate (and therefore checkpoint/early-stop) on the EMA
+            # weights — they are what gets exported.  BN running stats stay
+            # the live ones; pair training.bn_recalibrate with EMA for
+            # exactly-matched statistics at export time.
+            state = state.replace(params=state.ema_params)
         agg, n = {}, 0
         batch_spec = jax.sharding.PartitionSpec('batch')
         for images, y_true, _ in self.val_gen:
@@ -294,6 +314,7 @@ class MultiGridTrainer:
         freeze_level = int(self.training_cfg.get('freeze_level', 0))
 
         params, batch_stats = self.init_params, self.init_batch_stats
+        ema_params = None
         best_val = float('inf')
         patience_count = 0
         plateau_patience = int(sched_cfg.get('patience', 3))
@@ -323,7 +344,7 @@ class MultiGridTrainer:
                 continue
             lr_override = getattr(self, '_plateau_lr', None)
             state, train_step, eval_step, schedule = self._make_stage(
-                fl, epoch, params, batch_stats, lr_override)
+                fl, epoch, params, batch_stats, lr_override, ema_params)
             if restore_state:
                 # allow_mismatch: a checkpoint saved in the OTHER stage
                 # restores params/batch_stats/step with this stage's fresh
@@ -406,6 +427,7 @@ class MultiGridTrainer:
                 epoch += 1
             params = state.params
             batch_stats = state.batch_stats
+            ema_params = state.ema_params
             if es_patience and patience_count >= es_patience:
                 break
 
@@ -415,8 +437,16 @@ class MultiGridTrainer:
             # final export instead of saving the fresh init
             raw = ckpt.restore_raw()
             params, batch_stats = raw['params'], raw['batch_stats']
+            ema_params = raw.get('ema_params')
             print('Resume found training already complete; exporting the '
                   'checkpointed weights')
+
+        export_params = params
+        if ema_params is not None and jax.tree_util.tree_leaves(ema_params):
+            # EMA weights are the deployment weights (training.ema_decay)
+            export_params = ema_params
+            print('Exporting EMA-averaged weights '
+                  f"(decay={self.training_cfg.get('ema_decay')})")
 
         if self.training_cfg.get('bn_recalibrate', False):
             # BN running stats lag the weights on short/frozen schedules;
@@ -435,7 +465,7 @@ class MultiGridTrainer:
             # diverge across hosts)
             spec = image_partition_spec(self.mesh)
             batch_stats = calibrate_batch_stats(
-                self.model, params, batch_stats,
+                self.model, export_params, batch_stats,
                 (dist.put_global(self.mesh, spec, img)
                  for img, _, _ in self.train_gen),
                 max_batches=n_cal, bn_momentum=bn_mom)
@@ -444,7 +474,7 @@ class MultiGridTrainer:
         final_path = os.path.join(model_dir, 'final_model.msgpack')
         if dist.is_primary():
             # params are replicated, so host 0 holds the full model
-            save_params(final_path, {'params': params,
+            save_params(final_path, {'params': export_params,
                                      'batch_stats': batch_stats})
             print(f'Saved final model to {final_path}')
         if tb_writer is not None:

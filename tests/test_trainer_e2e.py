@@ -127,6 +127,46 @@ def test_trainer_end_to_end(dataset, tmp_path):
     ev.print_results()
 
 
+def test_trainer_ema_exports_averaged_weights(dataset, tmp_path):
+    """training.ema_decay: the EMA tree rides the TrainState across the
+    freeze boundary and the final export holds the AVERAGED weights (==
+    the last checkpoint's ema_params, != its raw params)."""
+    import jax
+
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import CheckpointManager, MultiGridTrainer
+    from multigriddet_tpu.training.checkpoint import load_params
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+    config = load_config(str(cfg_path), config_type='train')
+    config['training']['ema_decay'] = 0.8
+    config['training']['bn_recalibrate'] = False
+    trainer = MultiGridTrainer(config)
+    history = trainer.train()
+    assert len(history) == 2
+
+    ckpt = CheckpointManager(str(tmp_path / 'ckpt'))
+    raw = ckpt.restore_raw()
+    ckpt.close()
+    assert raw.get('ema_params') is not None
+
+    final = tmp_path / 'models' / 'final_model.msgpack'
+    template = {'params': raw['ema_params'],
+                'batch_stats': raw['batch_stats']}
+    exported = load_params(str(final), template)
+
+    ema_leaves = jax.tree_util.tree_leaves(raw['ema_params'])
+    raw_leaves = jax.tree_util.tree_leaves(raw['params'])
+    exp_leaves = jax.tree_util.tree_leaves(exported['params'])
+    assert any(np.abs(np.asarray(e) - np.asarray(r)).max() > 1e-6
+               for e, r in zip(ema_leaves, raw_leaves)), \
+        'EMA should lag the raw weights after training'
+    for e, x in zip(ema_leaves, exp_leaves):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(e),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_trainer_resume_from_checkpoint(dataset, tmp_path):
     """resume.enabled restores the latest full TrainState (params +
     optimizer) and continues from the recorded epoch."""

@@ -106,6 +106,40 @@ def test_freeze_level_partitions(setup):
                if k.startswith('head'))
 
 
+def test_ema_params_track_closed_form(setup):
+    """training.ema_decay: ema' = d*ema + (1-d)*params after every step,
+    seeded from the initial params; untracked state keeps ema None."""
+    model, variables, images, y_true = setup
+    tx = optax.adam(1e-2)
+    d = 0.9
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], tx)
+    state = state.replace(ema_params=variables['params'])
+    step = make_train_step(model, tx, ANCHORS, C, HW, donate=False,
+                           ema_decay=d)
+    expected = variables['params']
+    for _ in range(3):
+        state, _ = step(state, images, y_true)
+        expected = jax.tree.map(lambda e, p: d * e + (1 - d) * p,
+                                expected, state.params)
+    for e, g in zip(jax.tree_util.tree_leaves(expected),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                   rtol=2e-6, atol=1e-7)
+    # EMA lags the raw params (they moved; the average must differ)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                             jax.tree_util.tree_leaves(state.ema_params))]
+    assert max(diffs) > 1e-5
+
+    # without ema_decay the field stays None and steps still run
+    state2 = create_train_state(variables['params'],
+                                variables['batch_stats'], tx)
+    step2 = make_train_step(model, tx, ANCHORS, C, HW, donate=False)
+    state2, _ = step2(state2, images, y_true)
+    assert state2.ema_params is None
+
+
 def test_frozen_backbone_unchanged_by_updates(setup):
     model, variables, images, y_true = setup
     tx = partition_optimizer(optax.adam(1e-2), variables['params'], 1)
