@@ -41,14 +41,29 @@ _SUBPACKAGES = ('ops', 'models', 'losses', 'data', 'config', 'training',
                 'utils')
 
 
+# Top-level convenience symbols matching the reference package surface
+# (/root/reference/multigriddet/__init__.py:63-66), resolved lazily.
+_CONVENIENCE = {
+    'create_model': ('models', 'create_model'),
+    'list_available_models': ('models', 'list_available_models'),
+    'draw_boxes': ('utils', 'draw_boxes'),
+}
+
+
 def __getattr__(name):
+    import importlib
     if name in _SUBPACKAGES:
-        import importlib
         module = importlib.import_module(f'.{name}', __name__)
         globals()[name] = module
         return module
+    if name in _CONVENIENCE:
+        subpkg, attr = _CONVENIENCE[name]
+        value = getattr(importlib.import_module(f'.{subpkg}', __name__),
+                        attr)
+        globals()[name] = value
+        return value
     raise AttributeError(f'module {__name__!r} has no attribute {name!r}')
 
 
 def __dir__():
-    return sorted(list(globals()) + list(_SUBPACKAGES))
+    return sorted(set(globals()) | set(_SUBPACKAGES) | set(_CONVENIENCE))

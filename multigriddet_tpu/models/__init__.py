@@ -9,8 +9,9 @@ from .head import MultiGridHead, MultiGridLiteHead
 from .layers import ConvBN, PredictConv, SeparableConvBN, mish, spp, upsample2x
 from .neck import MultiGridFPN
 from .registry import (create_model, get_backbone, get_head, get_neck,
-                       list_components, register_backbone, register_head,
-                       register_model, register_neck)
+                       list_available_models, list_components,
+                       register_backbone, register_head, register_model,
+                       register_neck)
 from .resnet import ResNet, ResNet50, ResNet101
 
 __all__ = [
@@ -19,7 +20,7 @@ __all__ = [
     'MultiGridLiteHead', 'ResNet', 'ResNet50', 'ResNet101', 'ConvBN',
     'PredictConv', 'SeparableConvBN', 'mish', 'spp', 'upsample2x',
     'build_custom', 'create_model', 'get_backbone', 'get_head', 'get_neck',
-    'list_components', 'multigriddet_csp_darknet', 'multigriddet_darknet',
+    'list_available_models', 'list_components', 'multigriddet_csp_darknet', 'multigriddet_darknet',
     'multigriddet_darknet_lite', 'multigriddet_darknet_spp',
     'multigriddet_resnet', 'register_backbone', 'register_head',
     'register_model', 'register_neck',

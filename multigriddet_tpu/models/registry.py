@@ -78,3 +78,9 @@ def list_components() -> Dict[str, list]:
         'heads': sorted(_HEADS),
         'models': sorted(_MODELS),
     }
+
+
+def list_available_models() -> Dict[str, list]:
+    """Reference-named alias of :func:`list_components`
+    (reference models/registry.py:308-320)."""
+    return list_components()

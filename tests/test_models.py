@@ -131,3 +131,17 @@ def test_remat_backbone_grads_match(mode):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_reference_public_api_surface():
+    """Top-level convenience symbols match the reference package
+    (/root/reference/multigriddet/__init__.py:63-66): create_model,
+    list_available_models, draw_boxes importable from the package root."""
+    import multigriddet_tpu as m
+
+    listing = m.list_available_models()
+    assert set(listing) == {'models', 'backbones', 'necks', 'heads'}
+    assert 'multigriddet_darknet' in listing['models']
+    assert callable(m.create_model) and callable(m.draw_boxes)
+    for name in ('create_model', 'list_available_models', 'draw_boxes'):
+        assert name in dir(m)
