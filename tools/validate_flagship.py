@@ -9,7 +9,9 @@ evaluates with the fused forward+decode+NMS path and the custom mAP.
 Last verified on TPU v5e: 120 epochs in ~206 s of stepping ->
 mAP50 = 0.946, mAP@0.5:0.95 = 0.711 (per-class AP50 0.93-0.98).
 
-Usage:  python tools/validate_flagship.py
+Usage:  python tools/validate_flagship.py [--ema]
+        --ema: track training.ema_decay-style weight averaging (0.999)
+        and report mAP for BOTH the raw and the EMA weights.
 """
 
 import sys
@@ -64,10 +66,15 @@ EPOCHS = 120
 steps_per_epoch = len(gen)
 sched = optax.warmup_cosine_decay_schedule(1e-5, 1e-3, 3*steps_per_epoch, EPOCHS*steps_per_epoch, 1e-6)
 tx = optax.adam(sched)
+EMA = '--ema' in sys.argv
+EMA_DECAY = 0.999
 state = create_train_state(v['params'], v['batch_stats'], tx)
+if EMA:
+    state = state.replace(ema_params=jax.tree.map(
+        lambda x: jnp.array(x, copy=True), v['params']))
 step = make_train_step(model, tx, ANCHORS, C, HW,
     LossConfig(loss_option=2, coord_scale=5.0, no_object_scale=0.5, label_smoothing=0.01),
-    donate=False)
+    donate=False, ema_decay=EMA_DECAY if EMA else None)
 t0=time.time()
 for epoch in range(EPOCHS):
     for images, y_true, _ in gen:
@@ -78,25 +85,32 @@ print('final loss', float(m['loss']), f'({time.time()-t0:.0f}s)')
 save_params(f'{root}/flagship.msgpack', {'params': state.params, 'batch_stats': state.batch_stats})
 
 infer = make_infer_step(model, ANCHORS, HW, confidence=0.25, max_boxes=12, pre_nms_top_k=128)
-trained = {'params': state.params, 'batch_stats': state.batch_stats}
-preds, gts = {}, {}
 lines = load_annotation_lines(f'{root}/ann.txt', shuffle=False)
-bs = 16
-for start in range(0, len(lines), bs):
-    chunk = lines[start:start+bs]
-    arrs, metas = [], []
-    for line in chunk:
-        path, b = parse_annotation_line(line)
-        arr,_,_,_ = letterbox_image(Image.open(path).convert('RGB'), HW)
-        arrs.append(arr); metas.append(b)
-    batch = jnp.asarray(np.stack(arrs))
-    bx, cl, sc, valid = infer(trained, batch)
-    bx, cl, sc, valid = map(np.asarray, (bx, cl, sc, valid))
-    for j, b in enumerate(metas):
-        k = valid[j]
-        preds[start+j] = {'boxes': bx[j][k], 'classes': cl[j][k].astype(np.int32), 'scores': sc[j][k]}
-        gts[start+j] = {'boxes': np.stack([b[:,0],b[:,1],b[:,2]-b[:,0],b[:,3]-b[:,1]],-1),
-                        'classes': b[:,4].astype(np.int32)}
-r = calculate_map(preds, gts, C)
-print(format_results(r))
-print('FLAGSHIP mAP50:', r['mAP50'], 'mAP:', r['mAP'])
+
+def eval_weights(params, tag):
+    trained = {'params': params, 'batch_stats': state.batch_stats}
+    preds, gts = {}, {}
+    bs = 16
+    for start in range(0, len(lines), bs):
+        chunk = lines[start:start+bs]
+        arrs, metas = [], []
+        for line in chunk:
+            path, b = parse_annotation_line(line)
+            arr,_,_,_ = letterbox_image(Image.open(path).convert('RGB'), HW)
+            arrs.append(arr); metas.append(b)
+        batch = jnp.asarray(np.stack(arrs))
+        bx, cl, sc, valid = infer(trained, batch)
+        bx, cl, sc, valid = map(np.asarray, (bx, cl, sc, valid))
+        for j, b in enumerate(metas):
+            k = valid[j]
+            preds[start+j] = {'boxes': bx[j][k], 'classes': cl[j][k].astype(np.int32), 'scores': sc[j][k]}
+            gts[start+j] = {'boxes': np.stack([b[:,0],b[:,1],b[:,2]-b[:,0],b[:,3]-b[:,1]],-1),
+                            'classes': b[:,4].astype(np.int32)}
+    r = calculate_map(preds, gts, C)
+    print(format_results(r))
+    print(f'FLAGSHIP[{tag}] mAP50:', r['mAP50'], 'mAP:', r['mAP'])
+    return r
+
+eval_weights(state.params, 'raw')
+if EMA:
+    eval_weights(state.ema_params, f'ema@{EMA_DECAY}')
