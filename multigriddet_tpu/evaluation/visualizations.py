@@ -30,27 +30,58 @@ def _save(fig, out_dir: str, name: str, fmt: str = 'png', dpi: int = 150):
 
 
 def plot_pr_curves(results: Dict, class_names: Sequence[str],
-                   out_dir: str, top_k: int = 10, fmt='png', dpi=150):
+                   out_dir: str, top_k: int = 10, fmt='png', dpi=150,
+                   show_per_class: bool = True,
+                   show_averaged: bool = True):
+    """PR-curve plots (reference visualizations.py:30-155).
+
+    ``show_averaged`` renders the combined top-k overlay figure;
+    ``show_per_class`` additionally writes one figure per ranked class
+    under ``pr_curves/`` (the reference's per-class output layout).
+    Returns the overlay path (or the pr_curves dir when only per-class
+    figures were produced).
+    """
     curves = results.get('pr_curves', {})
-    if not curves:
+    if not curves or not (show_per_class or show_averaged):
         return None
     per_class = results.get('per_class_ap', {})
     ranked = sorted(
         ((per_class.get(class_names[c], {}).get('ap50', 0.0), c)
          for c in curves), reverse=True)[:top_k]
-    fig, ax = plt.subplots(figsize=(7, 5))
-    for ap50, c in ranked:
-        recalls, precisions = curves[c]
-        ax.plot(recalls, precisions, lw=1.2,
-                label=f'{class_names[c]} ({ap50:.3f})')
-    ax.set_xlabel('Recall')
-    ax.set_ylabel('Precision')
-    ax.set_title(f'PR curves @IoU 0.5 (top {len(ranked)} classes)')
-    ax.set_xlim(0, 1)
-    ax.set_ylim(0, 1.02)
-    ax.legend(fontsize=7, loc='lower left')
-    ax.grid(alpha=0.3)
-    return _save(fig, out_dir, 'pr_curves', fmt, dpi)
+    produced = None
+    if show_per_class:
+        pr_dir = os.path.join(out_dir, 'pr_curves')
+        for ap50, c in ranked:
+            recalls, precisions = curves[c]
+            fig, ax = plt.subplots(figsize=(6, 4.5))
+            ax.plot(recalls, precisions, 'b-', lw=2,
+                    label=f'PR curve (AP50={ap50:.3f})')
+            ax.fill_between(recalls, precisions, alpha=0.2)
+            ax.set_xlabel('Recall')
+            ax.set_ylabel('Precision')
+            ax.set_title(f'Precision-Recall: {class_names[c]}')
+            ax.set_xlim(0, 1)
+            ax.set_ylim(0, 1.02)
+            ax.legend(loc='best')
+            ax.grid(alpha=0.3)
+            name = f"pr_curve_{str(class_names[c]).replace(' ', '_')}"
+            _save(fig, pr_dir, name, fmt, dpi)
+        produced = pr_dir
+    if show_averaged:
+        fig, ax = plt.subplots(figsize=(7, 5))
+        for ap50, c in ranked:
+            recalls, precisions = curves[c]
+            ax.plot(recalls, precisions, lw=1.2,
+                    label=f'{class_names[c]} ({ap50:.3f})')
+        ax.set_xlabel('Recall')
+        ax.set_ylabel('Precision')
+        ax.set_title(f'PR curves @IoU 0.5 (top {len(ranked)} classes)')
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1.02)
+        ax.legend(fontsize=7, loc='lower left')
+        ax.grid(alpha=0.3)
+        produced = _save(fig, out_dir, 'pr_curves', fmt, dpi)
+    return produced
 
 
 def plot_per_class_ap(results: Dict, out_dir: str, top_k: int = 30,
@@ -195,7 +226,9 @@ def generate_evaluation_report(results: Dict, predictions: Dict,
         pr_cfg = cfg.get('pr_curves', {}) or {}
         produced['pr_curves'] = plot_pr_curves(
             results, class_names, out_dir,
-            top_k=int(pr_cfg.get('top_k', 10)), fmt=fmt, dpi=dpi)
+            top_k=int(pr_cfg.get('top_k', 10)), fmt=fmt, dpi=dpi,
+            show_per_class=bool(pr_cfg.get('show_per_class', True)),
+            show_averaged=bool(pr_cfg.get('show_averaged', True)))
     if plots.get('per_class_map_bar', True):
         produced['per_class_ap'] = plot_per_class_ap(
             results, out_dir, fmt=fmt, dpi=dpi)
