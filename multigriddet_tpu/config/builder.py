@@ -97,6 +97,92 @@ def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
     return model, spec
 
 
+def _init_variables(model, spec):
+    import jax
+
+    dummy = jnp.zeros((1, *spec['input_shape'][:2], 3), jnp.float32)
+    return dict(jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), dummy, train=False))())
+
+
+def build_model_for_inference(config: Dict[str, Any],
+                              weights_path: Optional[str] = None):
+    """Build the detector and load inference weights
+    (reference model_builder.py:277-299).
+
+    Returns ``(model, variables, spec)`` — ``variables`` holds
+    params + batch_stats ready for ``model.apply`` or
+    ``training.make_infer_step``.  ``weights_path`` falls back to the
+    config's ``weights_path`` key; a missing file warns (reference
+    behavior) and leaves the random init.
+    """
+    import os
+
+    model, spec = build_model_from_config(config)
+    variables = _init_variables(model, spec)
+    if weights_path is None:
+        weights_path = config.get('weights_path')
+    if weights_path and os.path.exists(weights_path):
+        from ..training.checkpoint import load_weights_flexible
+        params, batch_stats = load_weights_flexible(
+            weights_path, variables['params'],
+            variables.get('batch_stats', {}))
+        variables = {'params': params, 'batch_stats': batch_stats}
+        print(f'Loaded weights from: {weights_path}')
+    elif weights_path:
+        print(f'WARNING: weights file not found: {weights_path}')
+    else:
+        print('WARNING: no weights path specified')
+    return model, variables, spec
+
+
+def build_model_for_training(config: Dict[str, Any],
+                             weights_path: Optional[str] = None,
+                             backbone_weights_path: Optional[str] = None):
+    """Build the detector with training weights + loss config
+    (reference model_builder.py:260-275).
+
+    Returns ``(model, variables, spec, loss_cfg)``.  The reference
+    returns a Keras model with the loss compiled in; here the loss is
+    a pure function, so the bundle carries the :class:`LossConfig` to
+    pass to ``training.make_train_step`` (or use
+    :class:`training.MultiGridTrainer`, which drives the full loop).
+    ``backbone_weights_path`` loads only the backbone subtree
+    (transfer learning), mirroring the trainer's
+    ``resume.backbone_weights_path``.
+    """
+    import os
+
+    model, spec = build_model_from_config(config)
+    variables = _init_variables(model, spec)
+    if weights_path is None:
+        weights_path = (config.get('resume', {}) or {}).get('weights_path')
+    if backbone_weights_path is None:
+        backbone_weights_path = (config.get('resume', {}) or {}).get(
+            'backbone_weights_path')
+    if weights_path and os.path.exists(weights_path):
+        from ..training.checkpoint import load_weights_flexible
+        params, batch_stats = load_weights_flexible(
+            weights_path, variables['params'],
+            variables.get('batch_stats', {}))
+        variables = {'params': params, 'batch_stats': batch_stats}
+        print(f'Loaded full weights from: {weights_path}')
+    elif backbone_weights_path and os.path.exists(backbone_weights_path):
+        from ..training.checkpoint import load_backbone_flexible
+        backbone, bb_stats = load_backbone_flexible(
+            backbone_weights_path, variables['params']['backbone'],
+            (variables.get('batch_stats') or {}).get('backbone'))
+        variables['params'] = dict(variables['params'], backbone=backbone)
+        if bb_stats is not None and variables.get('batch_stats'):
+            variables['batch_stats'] = dict(variables['batch_stats'],
+                                            backbone=bb_stats)
+        print(f'Loaded backbone weights from: {backbone_weights_path}')
+    elif weights_path or backbone_weights_path:
+        print(f'WARNING: weights file not found: '
+              f'{weights_path or backbone_weights_path}')
+    return model, variables, spec, loss_config_from_config(config)
+
+
 def loss_config_from_config(config: Dict[str, Any]) -> LossConfig:
     """Extract LossConfig from the ``training`` block
     (reference model_builder.py:126-151)."""

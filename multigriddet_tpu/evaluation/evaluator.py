@@ -27,7 +27,7 @@ from ..config import build_model_from_config
 from ..data.annotations import (load_annotation_lines,
                                 parse_annotation_line)
 from ..ops.geometry import canvas_boxes_to_image
-from ..training.checkpoint import load_params
+from ..training.checkpoint import load_weights_flexible
 from ..training.steps import make_infer_step, unpack_detections
 from ..utils.visualization import draw_boxes, get_colors
 from .metrics import (COCO_IOU_THRESHOLDS, calculate_map,
@@ -78,7 +78,11 @@ class MultiGridEvaluator:
             jax.random.PRNGKey(0), dummy, train=False))()
         weights_path = self.config.get('weights_path')
         if weights_path and os.path.exists(weights_path):
-            variables = load_params(weights_path, dict(variables))
+            # bundle or bare-params file, both accepted
+            params, batch_stats = load_weights_flexible(
+                weights_path, variables['params'],
+                variables.get('batch_stats', {}))
+            variables = {'params': params, 'batch_stats': batch_stats}
             print(f'Loaded weights from {weights_path}')
         else:
             print('WARNING: evaluating with random weights')

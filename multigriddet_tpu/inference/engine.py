@@ -22,7 +22,7 @@ from PIL import Image
 from ..config import build_model_from_config
 from ..data.annotations import letterbox_image
 from ..ops.geometry import canvas_boxes_to_image
-from ..training.checkpoint import load_params
+from ..training.checkpoint import load_weights_flexible
 from ..training.steps import make_infer_step, unpack_detections
 from ..utils.visualization import draw_boxes, get_colors
 
@@ -70,8 +70,11 @@ class MultiGridInference:
             jax.random.PRNGKey(0), dummy, train=False))()
         weights_path = self.config.get('weights_path')
         if weights_path and os.path.exists(weights_path):
-            loaded = load_params(weights_path, dict(variables))
-            variables = loaded
+            # bundle or bare-params file, both accepted
+            params, batch_stats = load_weights_flexible(
+                weights_path, variables['params'],
+                variables.get('batch_stats', {}))
+            variables = {'params': params, 'batch_stats': batch_stats}
             print(f'Loaded weights from {weights_path}')
         else:
             print('WARNING: no weights loaded (random init)')

@@ -111,3 +111,58 @@ def load_params(path: str, template: Any) -> Any:
     from flax import serialization
     with open(path, 'rb') as f:
         return serialization.from_bytes(template, f.read())
+
+
+def load_weights_flexible(path: str, params_template: Any,
+                          batch_stats_template: Any = None):
+    """Load a weights file that is EITHER a params-only tree or a
+    ``{'params', 'batch_stats'}`` bundle (the trainer's
+    ``final_model.msgpack`` / serving format).
+
+    flax's ``from_bytes`` is template-strict, so a fine-tune pointed at
+    an exported bundle (or an engine pointed at a bare params dump)
+    would otherwise fail with a key-mismatch.  Returns
+    ``(params, batch_stats)``; ``batch_stats`` is the template when the
+    file carries none.
+    """
+    from flax import serialization
+    with open(path, 'rb') as f:
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and 'params' in raw:
+        params = serialization.from_state_dict(params_template,
+                                               raw['params'])
+        batch_stats = batch_stats_template
+        if batch_stats_template is not None and raw.get('batch_stats'):
+            batch_stats = serialization.from_state_dict(
+                batch_stats_template, raw['batch_stats'])
+        return params, batch_stats
+    return (serialization.from_state_dict(params_template, raw),
+            batch_stats_template)
+
+
+def load_backbone_flexible(path: str, backbone_params_template: Any,
+                           backbone_stats_template: Any = None):
+    """Load ONLY the backbone subtree from a weights file that may be a
+    bare backbone-params tree, a full params tree, or a full
+    ``{'params', 'batch_stats'}`` bundle (transfer learning —
+    reference trainer.py:312-319 loads backbone h5s by name).
+
+    Returns ``(backbone_params, backbone_batch_stats)``.
+    """
+    from flax import serialization
+    with open(path, 'rb') as f:
+        raw = serialization.msgpack_restore(f.read())
+    raw_stats = None
+    if isinstance(raw, dict) and 'params' in raw:
+        raw_stats = (raw.get('batch_stats') or {})
+        raw = raw['params']
+    if isinstance(raw, dict) and 'backbone' in raw:
+        raw_stats = (raw_stats or {}).get('backbone') \
+            if raw_stats is not None else None
+        raw = raw['backbone']
+    params = serialization.from_state_dict(backbone_params_template, raw)
+    stats = backbone_stats_template
+    if backbone_stats_template is not None and raw_stats:
+        stats = serialization.from_state_dict(backbone_stats_template,
+                                              raw_stats)
+    return params, stats

@@ -32,7 +32,8 @@ from ..config import (build_model_from_config, class_weights_from_config,
                       create_optimizer_from_config, loss_config_from_config,
                       make_lr_schedule, resolve_learning_rate)
 from ..data import MultiGridDataGenerator, load_annotation_lines
-from .checkpoint import CheckpointManager, load_params, save_params
+from .checkpoint import (CheckpointManager, load_backbone_flexible,
+                         load_weights_flexible, save_params)
 from .state import TrainState, count_params, create_train_state, \
     partition_optimizer
 from ..parallel import distributed as dist
@@ -133,14 +134,21 @@ class MultiGridTrainer:
         # the reference's exact contract (reference trainer.py:308-322)
         resume = self.config.get('resume', {}) or {}
         if resume.get('weights_path'):
-            self.init_params = load_params(resume['weights_path'],
-                                           self.init_params)
+            # accepts a bare params tree OR a {'params','batch_stats'}
+            # bundle (final_model.msgpack), restoring BN stats when present
+            self.init_params, self.init_batch_stats = load_weights_flexible(
+                resume['weights_path'], self.init_params,
+                self.init_batch_stats)
             print(f"Loaded full weights from {resume['weights_path']}")
         elif resume.get('backbone_weights_path'):
             path = resume['backbone_weights_path']
-            backbone = load_params(path, self.init_params['backbone'])
-            self.init_params = dict(self.init_params,
-                                    backbone=backbone)
+            backbone, bb_stats = load_backbone_flexible(
+                path, self.init_params['backbone'],
+                (self.init_batch_stats or {}).get('backbone'))
+            self.init_params = dict(self.init_params, backbone=backbone)
+            if bb_stats is not None and self.init_batch_stats:
+                self.init_batch_stats = dict(self.init_batch_stats,
+                                             backbone=bb_stats)
             print(f'Loaded backbone weights from {path}')
         print(f"Model: {self.spec['architecture']}  "
               f"params: {count_params(self.init_params)/1e6:.2f}M  "

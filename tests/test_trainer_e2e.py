@@ -474,3 +474,35 @@ def test_cosine_schedule_continues_across_unfreeze(dataset, tmp_path,
     assert float(s2(0)) == pytest.approx(
         float(s1(2 * updates_per_epoch)), rel=1e-6)
     assert float(s2(0)) != pytest.approx(float(s1(0)), rel=1e-3)
+
+
+def test_trainer_finetune_from_final_model_bundle(dataset, tmp_path):
+    """resume.weights_path accepts the trainer's own final_model.msgpack
+    ({'params','batch_stats'} bundle) — fine-tune-from-export must
+    restore params AND BN stats (was a template-strict crash)."""
+    import jax
+    import jax.numpy as jnp
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.training import MultiGridTrainer
+    from multigriddet_tpu.training.checkpoint import save_params
+
+    root, ann, classes, anchors = dataset
+    cfg_path = _write_config(root, ann, classes, anchors, tmp_path)
+    config = load_config(str(cfg_path), config_type='train')
+    base = MultiGridTrainer(config)
+    base.build_model()
+    marked_p = jax.tree.map(lambda x: jnp.full_like(x, 0.125),
+                            base.init_params)
+    marked_s = jax.tree.map(lambda x: jnp.full_like(x, 0.375),
+                            base.init_batch_stats)
+    wpath = str(tmp_path / 'final_model.msgpack')
+    save_params(wpath, {'params': marked_p, 'batch_stats': marked_s})
+
+    config2 = load_config(str(cfg_path), config_type='train')
+    config2['resume'] = {'weights_path': wpath}
+    trainer = MultiGridTrainer(config2)
+    trainer.build_model()
+    assert all(np.allclose(np.asarray(l), 0.125)
+               for l in jax.tree.leaves(trainer.init_params))
+    assert all(np.allclose(np.asarray(l), 0.375)
+               for l in jax.tree.leaves(trainer.init_batch_stats))

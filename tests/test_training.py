@@ -320,3 +320,83 @@ def test_bn_recalibration_measures_per_layer_momentum():
     for k, v in flat.items():
         if k[-1] == 'var':
             assert (np.asarray(v) >= 0).all()
+
+
+def test_flexible_weight_loading(tmp_path):
+    """Weights files load whether they are a bare params tree or a
+    {'params','batch_stats'} bundle (final_model.msgpack), for both the
+    full-model and backbone-only paths."""
+    from multigriddet_tpu.training.checkpoint import (
+        load_backbone_flexible, load_weights_flexible, save_params)
+
+    params = {'backbone': {'k': jnp.ones((2,))},
+              'head': {'b': jnp.zeros((3,))}}
+    stats = {'backbone': {'m': jnp.full((2,), 0.5)}}
+    marked_p = jax.tree.map(lambda x: jnp.full_like(x, 0.25), params)
+    marked_s = jax.tree.map(lambda x: jnp.full_like(x, 0.75), stats)
+
+    bare = str(tmp_path / 'bare.msgpack')
+    save_params(bare, marked_p)
+    bundle = str(tmp_path / 'bundle.msgpack')
+    save_params(bundle, {'params': marked_p, 'batch_stats': marked_s})
+
+    for path in (bare, bundle):
+        p, s = load_weights_flexible(path, params, stats)
+        assert all(np.allclose(np.asarray(l), 0.25)
+                   for l in jax.tree.leaves(p)), path
+        if path == bundle:
+            assert np.allclose(np.asarray(s['backbone']['m']), 0.75)
+        else:  # bare file carries no stats -> template returned
+            assert np.allclose(np.asarray(s['backbone']['m']), 0.5)
+
+    # backbone-only extraction from: bare backbone tree / full params
+    # tree / full bundle
+    bb_only = str(tmp_path / 'bb.msgpack')
+    save_params(bb_only, marked_p['backbone'])
+    for path in (bb_only, bare, bundle):
+        bp, bs = load_backbone_flexible(path, params['backbone'],
+                                        stats['backbone'])
+        assert np.allclose(np.asarray(bp['k']), 0.25), path
+    _, bs = load_backbone_flexible(bundle, params['backbone'],
+                                   stats['backbone'])
+    assert np.allclose(np.asarray(bs['m']), 0.75)
+
+
+def test_builder_entry_points(tmp_path):
+    """config.build_model_for_inference / build_model_for_training
+    (reference model_builder.py:260-299) build + load weights."""
+    from multigriddet_tpu.config import (build_model_for_inference,
+                                         build_model_for_training)
+    from multigriddet_tpu.training.checkpoint import save_params
+
+    anchors_txt = tmp_path / 'anchors.txt'
+    anchors_txt.write_text('40,40\n20,20\n10,10\n')
+    cfg = {'model': {'type': 'preset', 'preset': {
+        'architecture': 'multigriddet_tiny', 'num_classes': 2,
+        'input_shape': [64, 64, 3], 'anchors_path': str(anchors_txt)}}}
+
+    model, variables, spec, loss_cfg = build_model_for_training(dict(cfg))
+    assert spec['num_classes'] == 2 and loss_cfg is not None
+    marked = jax.tree.map(lambda x: jnp.full_like(x, 0.125),
+                          variables['params'])
+    wpath = str(tmp_path / 'w.msgpack')
+    save_params(wpath, {'params': marked,
+                        'batch_stats': variables.get('batch_stats', {})})
+
+    cfg_inf = dict(cfg, weights_path=wpath)
+    model2, vars2, spec2 = build_model_for_inference(cfg_inf)
+    assert all(np.allclose(np.asarray(l), 0.125)
+               for l in jax.tree.leaves(vars2['params']))
+    out = jax.jit(lambda v, x: model2.apply(v, x, train=False))(
+        vars2, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert len(out) == 3
+
+    # backbone-only transfer into the training builder
+    bpath = str(tmp_path / 'bb.msgpack')
+    save_params(bpath, marked['backbone'])
+    _, vars3, _, _ = build_model_for_training(
+        dict(cfg), backbone_weights_path=bpath)
+    assert all(np.allclose(np.asarray(l), 0.125)
+               for l in jax.tree.leaves(vars3['params']['backbone']))
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(vars3['params']['head'])[0]), 0.125)
