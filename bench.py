@@ -25,7 +25,6 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 from multigriddet_tpu.models import create_model
-from multigriddet_tpu.training.steps import make_infer_step
 from multigriddet_tpu.utils.anchors import DEFAULT_COCO_ANCHORS
 
 BASELINE_FPS = 30.0  # reference: GTX 1060 @608 (README.md:617)
@@ -47,38 +46,41 @@ def _mfu(jitted, dt_per_call, *args):
 
 
 def bench_inference():
+    """Throughput of the SHIPPED serving path.
+
+    Builds ``MultiGridInference`` from ``configs/infer_config.yaml`` —
+    the exact model ``infer.py``/``eval.py`` users get (bfloat16 compute
+    by default, engine.py:_load_model) — and drives its fused program
+    (forward + decode + NMS, packed single-fetch output) at b128 @416.
+    Dispatches are pipelined (the engine serves with pipeline_depth 4)
+    and every batch's packed detections are forced on device; the last
+    is fetched to host.
+    """
     batch = 128
     hw = (416, 416)
-    model = create_model('multigriddet_darknet', num_classes=80,
-                         dtype=jnp.bfloat16)
+    from multigriddet_tpu.config import load_config
+    from multigriddet_tpu.inference import MultiGridInference
+
+    config = load_config('configs/infer_config.yaml', config_type='infer')
+    config.setdefault('input', {})['input_shape'] = [*hw, 3]
+    engine = MultiGridInference(config)
+    assert engine.compute_dtype == jnp.bfloat16, \
+        'shipped serving default must be bfloat16 (VERDICT r3 #1)'
+    infer, variables = engine._infer, engine.variables
     rng = np.random.RandomState(0)
     inputs = [jnp.asarray(rng.randint(0, 255, (batch, *hw, 3), np.uint8))
               for _ in range(2)]
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, *hw, 3), jnp.float32),
-                           train=False))()
-
-    # the SHIPPED fused step (engine defaults: K=1024, diou, xla sweep)
-    step = make_infer_step(model, list(DEFAULT_COCO_ANCHORS), hw,
-                           confidence=0.1, nms_threshold=0.45,
-                           max_boxes=100, pre_nms_top_k=1024)
-
-    @jax.jit
-    def infer(variables, images):
-        # step is jitted; tracing through it here inlines the whole
-        # program, so one dispatch returns a tiny host-visible reduction
-        _, _, scores, valid = step(variables, images)
-        return jnp.sum(scores * valid)
 
     # two untimed calls: the first executed program in a fresh process
     # absorbs tunnel warm-up beyond compile
     for i in range(2):
-        float(infer(variables, inputs[i]))
+        np.asarray(infer(variables, inputs[i]))
     iters = 12
     t0 = time.time()
     outs = [infer(variables, inputs[i % 2]) for i in range(iters)]
-    _ = sum(float(o) for o in outs)
+    for o in outs:
+        o.block_until_ready()
+    _ = np.asarray(outs[-1])
     dt = time.time() - t0
     ips = batch * iters / dt
     return {
@@ -154,11 +156,19 @@ def bench_pipeline():
         capture_output=True, text=True, timeout=1800, cwd=repo)
     line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
     got = json.loads(line)
-    return {
+    out = {
         'pipeline_sps_cold': got['ours_sps_cold'],
         'pipeline_sps_diskwarm': got['ours_sps_disk'],
         'pipeline_sps_ramwarm': got['ours_sps_ram'],
+        'pipeline_repeats': got.get('ours_sps_ram_n'),
     }
+    # spread makes single-run instability driver-visible (VERDICT r3 #2)
+    for mode, key in (('disk', 'diskwarm'), ('ram', 'ramwarm')):
+        for stat in ('min', 'max'):
+            v = got.get(f'ours_sps_{mode}_{stat}')
+            if v is not None:
+                out[f'pipeline_sps_{key}_{stat}'] = v
+    return out
 
 
 def main():

@@ -58,6 +58,29 @@ def model_spec_from_config(config: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def resolve_compute_dtype(config: Dict[str, Any],
+                          default_mixed: bool = False):
+    """Compute dtype from ``environment.mixed_precision``.
+
+    The reference's evaluator honors this knob via the Keras mixed-
+    precision policy (reference evaluation/evaluator.py:50-54, policy
+    setter utils/tf_optimization.py:349-356); here it selects the flax
+    compute dtype (params always stay float32 — models/layers.py).
+
+    Serving paths (inference/eval) pass ``default_mixed=True``: bfloat16
+    conv compute rides the MXU at ~2x float32 throughput, while the
+    predict convs emit float32 logits (models/layers.py PredictConv) and
+    decode/NMS run in float32, so detections match the float32 model
+    within tolerance (tests/test_inference.py::test_bf16_f32_parity).
+    Set ``environment.mixed_precision: false`` to force float32.
+    """
+    env = config.get('environment', {}) or {}
+    mixed = env.get('mixed_precision')
+    if mixed is None:
+        mixed = default_mixed
+    return jnp.bfloat16 if mixed else jnp.float32
+
+
 def build_model_from_config(config: Dict[str, Any], dtype=jnp.float32,
                             bn_axis_name: Optional[str] = None):
     """Instantiate the flax detector from a loaded config.
@@ -114,11 +137,14 @@ def build_model_for_inference(config: Dict[str, Any],
     params + batch_stats ready for ``model.apply`` or
     ``training.make_infer_step``.  ``weights_path`` falls back to the
     config's ``weights_path`` key; a missing file warns (reference
-    behavior) and leaves the random init.
+    behavior) and leaves the random init.  Compute dtype follows
+    ``environment.mixed_precision`` (bfloat16 by default for serving;
+    see :func:`resolve_compute_dtype`).
     """
     import os
 
-    model, spec = build_model_from_config(config)
+    model, spec = build_model_from_config(
+        config, dtype=resolve_compute_dtype(config, default_mixed=True))
     variables = _init_variables(model, spec)
     if weights_path is None:
         weights_path = config.get('weights_path')

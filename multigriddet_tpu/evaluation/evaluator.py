@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from ..config import build_model_from_config
+from ..config import build_model_from_config, resolve_compute_dtype
 from ..data.annotations import (load_annotation_lines,
                                 parse_annotation_line)
 from ..ops.geometry import canvas_boxes_to_image
@@ -67,7 +67,12 @@ class MultiGridEvaluator:
         self.timing: Dict[str, float] = {}
 
     def _load_model(self):
-        self.model, self.spec = build_model_from_config(self.config)
+        # bfloat16 compute by default (environment.mixed_precision), like
+        # the reference's mixed-precision evaluator (ref evaluator.py:50-54)
+        self.compute_dtype = resolve_compute_dtype(self.config,
+                                                   default_mixed=True)
+        self.model, self.spec = build_model_from_config(
+            self.config, dtype=self.compute_dtype)
         ev = self.config.get('evaluation', {}) or {}
         shape = ev.get('input_shape') or self.spec['input_shape']
         self.input_hw: Tuple[int, int] = tuple(shape[:2])

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from ..config import build_model_from_config
+from ..config import build_model_from_config, resolve_compute_dtype
 from ..data.annotations import letterbox_image
 from ..ops.geometry import canvas_boxes_to_image
 from ..training.checkpoint import load_weights_flexible
@@ -57,7 +57,14 @@ class MultiGridInference:
         self._load_model()
 
     def _load_model(self):
-        self.model, self.spec = build_model_from_config(self.config)
+        # serving defaults to bfloat16 compute (environment.mixed_precision;
+        # the reference's evaluator honors the same knob, ref
+        # evaluator.py:50-54) — detections stay float32-parity because the
+        # predict convs emit f32 and decode/NMS run in f32
+        self.compute_dtype = resolve_compute_dtype(self.config,
+                                                   default_mixed=True)
+        self.model, self.spec = build_model_from_config(
+            self.config, dtype=self.compute_dtype)
         input_cfg = self.config.get('input', {}) or {}
         shape = input_cfg.get('input_shape') or self.spec['input_shape']
         self.input_hw: Tuple[int, int] = tuple(shape[:2])
@@ -312,7 +319,8 @@ class MultiGridInference:
 
     def predict_video(self, source, output_path: Optional[str] = None,
                       show: bool = False, max_frames: Optional[int] = None,
-                      pipeline_depth: int = 2, batch_size: int = 8):
+                      pipeline_depth: int = 2, batch_size: int = 8,
+                      resolution: Optional[Tuple[int, int]] = None):
         """Video (or camera index) loop via cv2
         (reference inference_engine.py:153-347).
 
@@ -332,6 +340,10 @@ class MultiGridInference:
         cap = cv2.VideoCapture(source)
         if not cap.isOpened():
             raise IOError(f'cannot open video source {source!r}')
+        if resolution:  # camera capture size (w, h) — reference
+            # inference_engine.py:264-266; a fixed video file ignores it
+            cap.set(cv2.CAP_PROP_FRAME_WIDTH, int(resolution[0]))
+            cap.set(cv2.CAP_PROP_FRAME_HEIGHT, int(resolution[1]))
         writer = None
         if output_path:
             video_cfg = self.config.get('video', {}) or {}
@@ -420,9 +432,14 @@ class MultiGridInference:
 
     def predict_camera(self, device_id: int = 0, show: bool = True,
                        max_frames: Optional[int] = None):
-        # live loop: no batching/pipelining — minimum display latency
+        # live loop: no batching/pipelining — minimum display latency.
+        # camera.resolution sets the capture size (reference
+        # inference_engine.py:264-266)
+        cam = self.config.get('camera', {}) or {}
+        resolution = cam.get('resolution')
         return self.predict_video(device_id, None, show, max_frames,
-                                  pipeline_depth=0, batch_size=1)
+                                  pipeline_depth=0, batch_size=1,
+                                  resolution=resolution)
 
     def run(self):
         """Dispatch on input.type (reference inference_engine.py:349-441)."""

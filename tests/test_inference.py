@@ -399,3 +399,87 @@ def test_detect_files_native_path_handles_png(config, tmp_path):
     assert len(db) == len(pb)
     if len(db):
         np.testing.assert_allclose(db, pb, atol=1e-4)
+
+
+def test_bf16_default_and_f32_parity(config):
+    """Serving builds bfloat16 compute by default (environment.mixed_precision,
+    reference evaluator.py:50-54 honors the same knob) and its detections
+    match the float32 model within bf16 rounding tolerance — predict convs
+    and decode/NMS stay float32 (models/layers.py PredictConv)."""
+    import jax
+    import jax.numpy as jnp
+
+    eng_bf16 = MultiGridInference(config)
+    assert eng_bf16.compute_dtype == jnp.bfloat16
+    cfg32 = dict(config, environment={'mixed_precision': False})
+    eng_f32 = MultiGridInference(cfg32)
+    assert eng_f32.compute_dtype == jnp.float32
+
+    # identical init key => identical (float32) params in both engines
+    chex = pytest.importorskip('chex')
+    chex.assert_trees_all_close(eng_bf16.variables, eng_f32.variables)
+
+    # raw forward outputs agree to bf16 rounding; predict-conv output
+    # dtype stays float32 in the mixed model
+    img = np.random.RandomState(7).randint(
+        0, 255, (1, 64, 64, 3)).astype(np.float32) / 255.0
+    outs16 = jax.jit(lambda v, x: eng_bf16.model.apply(v, x, train=False))(
+        eng_bf16.variables, jnp.asarray(img))
+    outs32 = jax.jit(lambda v, x: eng_f32.model.apply(v, x, train=False))(
+        eng_f32.variables, jnp.asarray(img))
+    for o16, o32 in zip(outs16, outs32):
+        assert o16.dtype == jnp.float32
+        scale = float(jnp.max(jnp.abs(o32))) + 1e-6
+        assert float(jnp.max(jnp.abs(o16 - o32))) / scale < 0.08
+
+    # end-to-end detections: same count within 1 near-threshold flip and
+    # matching top-1 box/score when anything is detected
+    pil = Image.fromarray(np.random.RandomState(3).randint(
+        0, 255, (48, 80, 3)).astype('uint8'))
+    b16, c16, s16 = eng_bf16.detect(pil)
+    b32, c32, s32 = eng_f32.detect(pil)
+    assert abs(len(b16) - len(b32)) <= 1
+    if len(b16) and len(b32):
+        np.testing.assert_allclose(b16[0], b32[0], rtol=0.1, atol=2.0)
+        assert abs(float(s16[0]) - float(s32[0])) < 0.05
+        assert c16[0] == c32[0]
+
+
+def test_camera_resolution_applied(config, monkeypatch):
+    """camera.resolution sets CAP_PROP_FRAME_WIDTH/HEIGHT on the capture
+    (reference inference_engine.py:264-266); video files don't get it."""
+    cv2 = pytest.importorskip('cv2')
+
+    calls = []
+
+    class FakeCap:
+        def __init__(self, source):
+            self.source = source
+
+        def isOpened(self):
+            return True
+
+        def set(self, prop, value):
+            calls.append((prop, value))
+
+        def read(self):
+            return False, None  # empty stream: loop exits immediately
+
+        def get(self, prop):
+            return 0
+
+        def release(self):
+            pass
+
+    cfg = dict(config)
+    cfg['camera'] = {'device_id': 0, 'resolution': [1280, 720]}
+    engine = MultiGridInference(cfg)
+    monkeypatch.setattr(cv2, 'VideoCapture', lambda src: FakeCap(src))
+    engine.predict_camera(0, show=False, max_frames=1)
+    assert (cv2.CAP_PROP_FRAME_WIDTH, 1280) in calls
+    assert (cv2.CAP_PROP_FRAME_HEIGHT, 720) in calls
+
+    # a plain video call (no resolution) must not touch capture props
+    calls.clear()
+    engine.predict_video('x.mp4', None, show=False, max_frames=1)
+    assert not calls
