@@ -83,7 +83,10 @@ def average_precision(recalls: np.ndarray, precisions: np.ndarray,
 
 def _class_pr(predictions: Dict, ground_truths: Dict, class_id: int,
               iou_threshold: float, area_range=None):
-    """Per-class TP flags + PR curve over all images."""
+    """Per-class TP flags + PR curve over all images (single-threshold
+    reference implementation; ``calculate_map`` uses the indexed
+    all-thresholds-at-once path below, pinned to this one in
+    tests/test_metrics.py)."""
     all_scores, all_tp = [], []
     n_gt = 0
     for img_id, gt in ground_truths.items():
@@ -121,6 +124,168 @@ def _class_pr(predictions: Dict, ground_truths: Dict, class_id: int,
     return (recalls, precisions, scores[order], tp), n_gt
 
 
+class _ClassImageEntry:
+    """One (class, image) cell of the eval index: per-class pred scores,
+    pred/gt areas, and the pairwise IoU matrix — computed ONCE and reused
+    across every IoU threshold and area range (the naive path recomputes
+    all of it per (class, threshold, area) task: at COCO scale that is
+    80 classes x 10 thresholds x 4 ranges of full-dataset scans)."""
+
+    __slots__ = ('scores', 'p_areas', 'g_areas', 'ious', 'has_pred')
+
+    def __init__(self, scores, p_areas, g_areas, ious, has_pred):
+        self.scores = scores
+        self.p_areas = p_areas
+        self.g_areas = g_areas
+        self.ious = ious
+        self.has_pred = has_pred
+
+
+def _build_eval_index(predictions: Dict, ground_truths: Dict):
+    """ONE pass over the images -> {class: [entries]}.
+
+    Only images present in ``ground_truths`` participate, and only
+    classes appearing in an image (gt or pred side) get an entry there —
+    exactly the work :func:`_class_pr` does per task, hoisted out of the
+    (threshold x area) grid."""
+    index: Dict[int, list] = {}
+    for img_id, gt in ground_truths.items():
+        g_classes = np.asarray(gt['classes'])
+        g_boxes = np.asarray(gt['boxes']).reshape(-1, 4)
+        pred = predictions.get(img_id)
+        has_pred = pred is not None and len(pred['boxes']) > 0
+        classes_here = set(np.unique(g_classes).tolist())
+        if has_pred:
+            p_classes = np.asarray(pred['classes'])
+            p_boxes = np.asarray(pred['boxes']).reshape(-1, 4)
+            p_scores = np.asarray(pred['scores'])
+            classes_here.update(np.unique(p_classes).tolist())
+        for c in classes_here:
+            gb = g_boxes[g_classes == c]
+            if has_pred:
+                pmask = p_classes == c
+                pb, ps = p_boxes[pmask], p_scores[pmask]
+            else:
+                pb = np.zeros((0, 4), np.float32)
+                ps = np.zeros((0,), np.float32)
+            index.setdefault(int(c), []).append(_ClassImageEntry(
+                ps, pb[:, 2] * pb[:, 3], gb[:, 2] * gb[:, 3],
+                iou_matrix(pb, gb), has_pred))
+    return index
+
+
+def _match_all_thresholds_np(scores: np.ndarray, ious: np.ndarray,
+                             thresholds: np.ndarray) -> np.ndarray:
+    """Greedy confidence-ordered matching for EVERY threshold in one
+    pass: [T, N] TP flags, threshold t's row identical to
+    ``match_detections(..., thresholds[t])`` (same stable score order,
+    same first-max-wins argmax tie-break; the taken-gt mask is tracked
+    per threshold)."""
+    n, m = ious.shape
+    t = len(thresholds)
+    tp = np.zeros((t, n), bool)
+    if n == 0 or m == 0:
+        return tp
+    order = np.argsort(-scores, kind='stable')
+    taken = np.zeros((t, m), bool)
+    rows = np.arange(t)
+    for i in order:
+        masked = np.where(taken, -1.0, ious[i][None, :])     # [T, M]
+        j = np.argmax(masked, axis=1)
+        ok = masked[rows, j] >= thresholds
+        tp[ok, i] = True
+        taken[ok, j[ok]] = True
+    return tp
+
+
+_native_matcher = None
+
+
+def _get_native_matcher():
+    """ctypes handle to mgd_match_all_thresholds (native/matcher.cpp),
+    or None when libmgdfastloader.so is absent/unbuilt."""
+    global _native_matcher
+    if _native_matcher is not None:
+        return _native_matcher or None
+    try:
+        import ctypes
+
+        from ..data.native import get_lib
+        lib = get_lib()
+        fn = lib.mgd_match_all_thresholds if lib is not None else None
+        if fn is not None:
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8)]
+            fn.restype = None
+    except Exception:
+        fn = None
+    _native_matcher = fn or False
+    return fn
+
+
+def _match_all_thresholds(scores: np.ndarray, ious: np.ndarray,
+                          thresholds: np.ndarray) -> np.ndarray:
+    """Native-kernel matching (semantics of
+    :func:`_match_all_thresholds_np`, parity-pinned in
+    tests/test_metrics.py) with a NumPy fallback."""
+    fn = _get_native_matcher()
+    n, m = ious.shape
+    if fn is None or n == 0 or m == 0:
+        return _match_all_thresholds_np(scores, ious, thresholds)
+    import ctypes
+    scores32 = np.ascontiguousarray(scores, np.float32)
+    ious32 = np.ascontiguousarray(ious, np.float32)
+    thr64 = np.ascontiguousarray(thresholds, np.float64)
+    t = len(thr64)
+    tp = np.empty((t, n), np.uint8)
+    fn(scores32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+       ious32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m,
+       thr64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), t,
+       tp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return tp.astype(bool)
+
+
+def _class_curves_indexed(entries, thresholds: np.ndarray,
+                          area_range=None):
+    """PR data for one class at ALL thresholds from the prebuilt index.
+
+    Returns ``((recalls [T,N], precisions [T,N]), n_gt)`` or
+    ``(None, n_gt)`` when no gt-image carries predictions — the same
+    per-threshold contract as :func:`_class_pr`."""
+    n_gt = 0
+    scores_parts, tp_parts = [], []
+    for e in entries:
+        if area_range is None:
+            ps, ious = e.scores, e.ious
+            n_gt += ious.shape[1]
+        else:
+            gk = ((e.g_areas >= area_range[0])
+                  & (e.g_areas < area_range[1]))
+            pk = ((e.p_areas >= area_range[0])
+                  & (e.p_areas < area_range[1]))
+            n_gt += int(gk.sum())
+            ps = e.scores[pk]
+            ious = e.ious[pk][:, gk]
+        if not e.has_pred:
+            continue
+        scores_parts.append(ps)
+        tp_parts.append(_match_all_thresholds(ps, ious, thresholds))
+    if not scores_parts:
+        return None, n_gt
+    scores = np.concatenate(scores_parts)
+    tp = np.concatenate(tp_parts, axis=1)
+    order = np.argsort(-scores, kind='stable')
+    tp = tp[:, order]
+    cum_tp = np.cumsum(tp, axis=1)
+    cum_fp = np.cumsum(~tp, axis=1)
+    recalls = cum_tp / max(n_gt, 1)
+    precisions = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+    return (recalls, precisions), n_gt
+
+
 def calculate_map(predictions: Dict, ground_truths: Dict,
                   num_classes: int,
                   iou_thresholds: Sequence[float] = COCO_IOU_THRESHOLDS,
@@ -131,10 +296,14 @@ def calculate_map(predictions: Dict, ground_truths: Dict,
                   use_parallel: bool = False) -> Dict:
     """Full mAP computation (reference calculate_map, metrics.py:529-814).
 
-    ``use_parallel`` fans the per-(class, threshold) AP tasks over a thread
-    pool (NumPy releases the GIL in the heavy kernels) — the counterpart of
-    the reference's multiprocessing Pool (metrics.py:596-647) without the
-    pickling cost.
+    The heavy lifting runs on a prebuilt index (one pass over the
+    images; per-(class, image) IoU matrices computed once) and matches
+    all IoU thresholds in a single greedy pass per class, so cost is
+    O(images + matches) instead of O(classes x thresholds x ranges x
+    images).  ``use_parallel`` fans the per-CLASS tasks over a thread
+    pool (NumPy releases the GIL in the heavy kernels) — the counterpart
+    of the reference's multiprocessing Pool (metrics.py:596-647) without
+    the pickling cost.
 
     Returns a dict with mAP, mAP50, mAP75, per_class_ap, APS/APM/APL,
     per-class PR curves at IoU 0.5.
@@ -152,32 +321,52 @@ def calculate_map(predictions: Dict, ground_truths: Dict,
     gt_counts = np.zeros(num_classes, np.int64)
     pr_curves = {}
 
-    def one_task(c, ti, thr):
-        pr, n_gt = _class_pr(predictions, ground_truths, c, thr)
-        ap = 0.0
+    index = _build_eval_index(predictions, ground_truths)
+    thr_arr = np.asarray(iou_thresholds, np.float64)
+    area_items = (list(AREA_RANGES.items()) if compute_size_breakdown
+                  else [])
+
+    def class_task(c):
+        entries = index.get(c, [])
+        pr, n_gt = _class_curves_indexed(entries, thr_arr)
+        aps = np.zeros(len(thr_arr), np.float64)
         curve = None
         if pr is not None and n_gt > 0:
-            recalls, precisions, _, _ = pr
-            ap = average_precision(recalls, precisions,
-                                   interpolation_method)
-            if abs(thr - 0.5) < 1e-6:
-                curve = (recalls, precisions)
-        return c, ti, thr, n_gt, ap, curve
+            recalls, precisions = pr
+            for ti, thr in enumerate(thr_arr):
+                aps[ti] = average_precision(recalls[ti], precisions[ti],
+                                            interpolation_method)
+                if abs(thr - 0.5) < 1e-6:
+                    curve = (recalls[ti], precisions[ti])
+        # size breakdown: n_gt and pred availability are threshold-
+        # independent, so a range contributes either its mean AP over
+        # every threshold or nothing
+        size_aps = {}
+        for size_name, rng in area_items:
+            spr, sn_gt = _class_curves_indexed(entries, thr_arr, rng)
+            if spr is not None and sn_gt > 0:
+                sr, sp = spr
+                size_aps[size_name] = float(np.mean([
+                    average_precision(sr[ti], sp[ti],
+                                      interpolation_method)
+                    for ti in range(len(thr_arr))]))
+        return c, n_gt, aps, curve, size_aps
 
-    tasks = [(c, ti, thr) for c in sorted(active) if c < num_classes
-             for ti, thr in enumerate(iou_thresholds)]
-    if use_parallel and len(tasks) > 1:
+    classes = [c for c in sorted(active) if c < num_classes]
+    if use_parallel and len(classes) > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=8) as pool:
-            results_iter = list(pool.map(lambda t: one_task(*t), tasks))
+            results_iter = list(pool.map(class_task, classes))
     else:
-        results_iter = [one_task(*t) for t in tasks]
-    for c, ti, thr, n_gt, ap, curve in results_iter:
-        if ti == 0:
-            gt_counts[c] = n_gt
-        ap_grid[c, ti] = ap
+        results_iter = [class_task(c) for c in classes]
+    size_ap_lists: Dict[str, list] = {name: [] for name, _ in area_items}
+    for c, n_gt, aps, curve, size_aps in results_iter:
+        gt_counts[c] = n_gt
+        ap_grid[c] = aps
         if curve is not None:
             pr_curves[c] = curve
+        for size_name, ap in size_aps.items():
+            size_ap_lists[size_name].append(ap)
 
     valid = gt_counts > 0
     results: Dict = {
@@ -204,22 +393,8 @@ def calculate_map(predictions: Dict, ground_truths: Dict,
         results['mAP'] = results['mAP50'] = results['mAP75'] = 0.0
 
     if compute_size_breakdown:
-        for size_name, rng in AREA_RANGES.items():
-            aps = []
-            for c in range(num_classes):
-                if c not in active:
-                    continue
-                per_thr = []
-                for thr in iou_thresholds:
-                    pr, n_gt = _class_pr(predictions, ground_truths, c, thr,
-                                         area_range=rng)
-                    if pr is None or n_gt == 0:
-                        continue
-                    recalls, precisions, _, _ = pr
-                    per_thr.append(average_precision(
-                        recalls, precisions, interpolation_method))
-                if per_thr:
-                    aps.append(np.mean(per_thr))
+        for size_name in AREA_RANGES:
+            aps = size_ap_lists.get(size_name, [])
             results[f'mAP_{size_name}'] = (float(np.mean(aps)) if aps
                                            else 0.0)
     return results

@@ -263,6 +263,69 @@ def test_calculate_map_parallel_matches_sequential():
     assert seq['mAP50'] == pytest.approx(par['mAP50'])
 
 
+def test_calculate_map_indexed_matches_naive():
+    """The indexed all-thresholds-at-once path (used by calculate_map)
+    must reproduce the naive per-(class, threshold) _class_pr path
+    exactly — randomized dataset incl. empty-pred images, pred-only
+    classes, gt-only classes, ties, and the size-breakdown ranges."""
+    from multigriddet_tpu.evaluation.metrics import (
+        AREA_RANGES, _class_pr, average_precision)
+
+    rng = np.random.RandomState(11)
+    gts, preds = {}, {}
+    for i in range(12):
+        n = rng.randint(1, 6)
+        b = np.concatenate([rng.rand(n, 2) * 300,
+                            rng.rand(n, 2) * 120 + 4], -1).astype(np.float32)
+        c = rng.randint(0, 5, n).astype(np.int32)
+        gts[i] = {'boxes': b, 'classes': c}
+        if i % 4 == 3:
+            # image with gt but no predictions at all
+            preds[i] = {'boxes': np.zeros((0, 4), np.float32),
+                        'classes': np.zeros(0, np.int32),
+                        'scores': np.zeros(0, np.float32)}
+            continue
+        m = rng.randint(1, 7)
+        pb = np.concatenate([rng.rand(m, 2) * 300,
+                             rng.rand(m, 2) * 120 + 4], -1)
+        # half the preds shadow gt boxes (some true positives)
+        k = min(m, n)
+        pb[:k] = b[:k] + rng.randn(k, 4) * 3
+        ps = np.round(rng.rand(m), 1)  # coarse scores -> ties
+        preds[i] = {'boxes': pb.astype(np.float32),
+                    'classes': rng.randint(0, 6, m).astype(np.int32),
+                    'scores': ps.astype(np.float32)}
+
+    thresholds = [0.3, 0.5, 0.75]
+    got = calculate_map(preds, gts, 6, iou_thresholds=thresholds)
+
+    # naive recomputation with the single-threshold path
+    ap_grid = np.zeros((6, len(thresholds)))
+    gt_counts = np.zeros(6, int)
+    for c in range(6):
+        for ti, thr in enumerate(thresholds):
+            pr, n_gt = _class_pr(preds, gts, c, thr)
+            gt_counts[c] = n_gt
+            if pr is not None and n_gt > 0:
+                ap_grid[c, ti] = average_precision(pr[0], pr[1], 'coco')
+    valid = gt_counts > 0
+    assert got['mAP'] == pytest.approx(float(ap_grid[valid].mean()))
+    assert got['mAP50'] == pytest.approx(
+        float(ap_grid[valid, thresholds.index(0.5)].mean()))
+    for size, rng_ in AREA_RANGES.items():
+        aps = []
+        for c in range(6):
+            per_thr = []
+            for thr in thresholds:
+                pr, n_gt = _class_pr(preds, gts, c, thr, area_range=rng_)
+                if pr is not None and n_gt > 0:
+                    per_thr.append(average_precision(pr[0], pr[1], 'coco'))
+            if per_thr:
+                aps.append(np.mean(per_thr))
+        want = float(np.mean(aps)) if aps else 0.0
+        assert got[f'mAP_{size}'] == pytest.approx(want), size
+
+
 def test_kmeans_anchor_tool(tmp_path):
     import sys
     sys.path.insert(0, 'tools')
