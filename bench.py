@@ -6,9 +6,12 @@ Prints ONE JSON line.  Primary metric (BASELINE.json): images/sec/chip
 NMS at the SHIPPED defaults: pre_nms_top_k=1024, engine.py:48), bfloat16
 compute, uint8 host->device transfer, per-batch host-visible results so
 async dispatch can't hide work.  Extra keys carry the training step
-(forward + MultiGridLoss + backward + adam, @416 b32) and the input
-pipeline (aug + 9-cell encode @608 b8) cold / disk-warm / RAM-warm, so
-regressions in any of the three hot paths are driver-visible.
+(forward + MultiGridLoss + backward + adam, @416, b32 AND the b128
+high-MFU operating point), END-TO-END real-data training (JPEGs ->
+host loader -> device aug+encode -> step, overlapped, median of 3
+epochs), and the input pipeline (aug + 9-cell encode @608 b8) cold /
+disk-warm / RAM-warm with repeat counts + spread, so regressions in
+any hot path are driver-visible.
 
 Baseline: the reference reports ~30 FPS at 608x608 on a GTX 1060
 (/root/reference/README.md:617; BASELINE.md).
@@ -92,14 +95,14 @@ def bench_inference():
     }
 
 
-def bench_train():
+def bench_train(batch=32):
     import optax
 
     from multigriddet_tpu.losses import LossConfig
     from multigriddet_tpu.training.state import TrainState
     from multigriddet_tpu.training.steps import make_train_step
 
-    batch, hw, nc = 32, (416, 416), 80
+    hw, nc = (416, 416), 80
     rng = np.random.RandomState(0)
     model = create_model('multigriddet_darknet', num_classes=nc,
                          dtype=jnp.bfloat16)
@@ -135,11 +138,43 @@ def bench_train():
     jax.block_until_ready(metrics['loss'])
     loss = float(metrics['loss'])
     dt = (time.time() - t0) / repeats
-    out = {'train_images_per_sec_416_b32': round(batch / dt, 1),
-           'train_step_ms': round(dt * 1e3, 2)}
+    out = {f'train_images_per_sec_416_b{batch}': round(batch / dt, 1),
+           f'train_step_ms_b{batch}': round(dt * 1e3, 2)}
     if flops and flops > 0 and np.isfinite(loss):
-        out['train_mfu_v5e_bf16'] = round(flops / dt / PEAK_BF16, 4)
+        out[f'train_mfu_v5e_bf16_b{batch}'] = round(
+            flops / dt / PEAK_BF16, 4)
+    if batch == 32:  # legacy key names (BENCH_r01-r03 continuity)
+        out['train_step_ms'] = out['train_step_ms_b32']
+        if 'train_mfu_v5e_bf16_b32' in out:
+            out['train_mfu_v5e_bf16'] = out['train_mfu_v5e_bf16_b32']
     return out
+
+
+def bench_train_e2e():
+    """Real-data end-to-end training throughput (VERDICT r3 #3).
+
+    JPEGs on disk -> HostImageLoader -> on-device aug + 9-cell encode ->
+    train step, overlapped and sustained over full epochs — the system
+    ``train.py`` actually runs.  Clean subprocess for the same reason as
+    bench_pipeline: a second jax client in this parent degrades the
+    child's host pipeline.
+    """
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, 'tools', 'bench_train_e2e.py'),
+         '32', '416', '3'],
+        capture_output=True, text=True, timeout=1800, cwd=repo)
+    line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
+    got = json.loads(line)
+    return {
+        'train_e2e_images_per_sec': got['e2e_img_per_s'],
+        'train_e2e_images_per_sec_min': got['e2e_img_per_s_min'],
+        'train_e2e_images_per_sec_max': got['e2e_img_per_s_max'],
+        'train_e2e_over_pure_step': got['e2e_over_pure'],
+    }
 
 
 def bench_pipeline():
@@ -182,11 +217,18 @@ def main():
         pipeline = bench_pipeline()
     except Exception as exc:
         pipeline = {'bench_pipeline_error': f'{type(exc).__name__}'}
-    result = bench_inference()
+    e2e = {}
     try:
-        result.update(bench_train())
-    except Exception as exc:  # keep the primary metric alive
-        result[f'bench_train_error'] = f'{type(exc).__name__}'
+        e2e = bench_train_e2e()
+    except Exception as exc:
+        e2e = {'bench_train_e2e_error': f'{type(exc).__name__}'}
+    result = bench_inference()
+    for batch in (32, 128):
+        try:
+            result.update(bench_train(batch))
+        except Exception as exc:  # keep the primary metric alive
+            result[f'bench_train_b{batch}_error'] = f'{type(exc).__name__}'
+    result.update(e2e)
     result.update(pipeline)
     print(json.dumps(result))
 

@@ -10,6 +10,10 @@ the fused forward+decode+NMS path — evidence that every model family
 Usage:
   python tools/validate_presets.py                  # all presets
   python tools/validate_presets.py csp panet        # a subset
+  python tools/validate_presets.py multi_anchor     # csp with
+      training.multi_anchor_assign=True through the whole encode ->
+      loss -> decode -> NMS -> mAP chain (VERDICT r3 #8) — passes when
+      mAP50 lands within noise of the single-assign csp run
 
 Last verified on TPU v5e (60 epochs each):
   csp (29.0M) mAP50=0.937, panet (39.9M) mAP50=0.938,
@@ -44,6 +48,9 @@ PRESETS = {
     'panet': 'multigriddet_darknet_panet',
     'resnet': 'multigriddet_resnet',
     'mobile': 'multigriddet_mobile',
+    # encoder variant, not a model: csp trained on multi-anchor-assigned
+    # targets (every qualifying layer gets the box, encoding.py:91-100)
+    'multi_anchor': 'multigriddet_csp_darknet',
 }
 HW, C, B, EPOCHS = (256, 256), 4, 16, 60
 ANCHORS = [np.array([[96, 96]], np.float32),
@@ -87,14 +94,14 @@ def make_dataset(root):
     return ann
 
 
-def run_preset(preset_name, ann):
+def run_preset(preset_name, ann, multi_anchor=False):
     gen = MultiGridDataGenerator(
         load_annotation_lines(ann), ANCHORS, C, HW, batch_size=B,
         max_boxes=8,
         augment={'enabled': True, 'mosaic_prob': 0.2, 'mixup_prob': 0.0,
                  'hflip_prob': 0.5, 'scale_range': (0.85, 1.15),
                  'rotate_prob': 0.0, 'grayscale_prob': 0.0},
-        train=True, seed=0)
+        train=True, seed=0, multi_anchor_assign=multi_anchor)
     model = create_model(preset_name, num_anchors=(1, 1, 1), num_classes=C,
                          dtype=jnp.bfloat16, bn_momentum=0.9)
     v = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
@@ -158,7 +165,8 @@ def main():
     ann = make_dataset('/tmp/mgd_preset_validation')
     results = {}
     for key in keys:
-        results[key] = run_preset(PRESETS[key], ann)
+        results[key] = run_preset(PRESETS[key], ann,
+                                  multi_anchor=(key == 'multi_anchor'))
     print('\nSummary:')
     for key, m in results.items():
         print(f'  {PRESETS[key]}: mAP50={m:.3f}')
