@@ -11,6 +11,10 @@ Replaces the reference's 3.4k-LoC dual tf.data/Sequence generator
 The whole device stage is ONE compiled XLA program per input bucket, so
 augmentation + encoding ride the accelerator instead of host CPUs.
 
+With ``cache_images_device`` the decoded u8 images additionally live in
+an HBM bank (:class:`_DeviceImageCache`): from epoch 2 on, batches are
+gathered on device and the host link carries only box rows + indices.
+
 Capacity discipline matches the reference (generators.py:1492-1556): the
 fixed ``max_boxes`` capacity is expanded x8/x4/x2/x1 depending on which of
 mosaic (x4) and mixup (x2) are enabled, and never silently truncated
@@ -118,6 +122,124 @@ def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
     return images, y_true, boxes
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('aug_cfg', 'anchors_tuple', 'num_classes', 'input_hw',
+                     'train', 'multi_anchor_assign'))
+def _device_stage_bank(bank, idx, boxes, key, aug_cfg, anchors_tuple,
+                       num_classes, input_hw, train,
+                       multi_anchor_assign=False):
+    """Device-cache variant of :func:`_device_stage`: the batch's pixels
+    are GATHERED from the HBM-resident image bank (one fused program —
+    the gathered u8 rows never round-trip to host), so a steady-state
+    epoch moves only the tiny per-batch boxes/indices over the host
+    link."""
+    return _device_stage(bank[idx], boxes, key, aug_cfg, anchors_tuple,
+                         num_classes, input_hw, train, multi_anchor_assign)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _bank_scatter(bank, rows, images_u8):
+    """Write a decoded batch into its bank rows in place (donated)."""
+    return bank.at[rows].set(images_u8)
+
+
+class _DeviceImageCache:
+    """Decoded-image cache in device HBM (beyond-reference, TPU-native).
+
+    The reference caches decoded pixels in host RAM at best
+    (generators.py `cache_images`); every epoch still pushes the full
+    raw-pixel stream over the host->device link.  On TPU that link is
+    the input pipeline's last bottleneck once decode is cached — and on
+    shared/tunneled interconnects its bandwidth can fluctuate by more
+    than an order of magnitude (docs/STATUS.md round-4).  For
+    fine-tune-scale datasets the decoded u8 images simply FIT in HBM
+    (~30k images at 416x416 per 15 GB), so epoch >= 2 batches are
+    assembled ON DEVICE by gathering bank rows; the only per-batch
+    host->device traffic is the [B, max_boxes, 5] float32 ground-truth
+    rows and a [B] int32 row index (~65 KB at b32).
+
+    One bank per canvas hw (multi-scale buckets cache independently).
+    Banks are pre-sized to the dataset's row count so every scatter /
+    gather program compiles exactly once per bucket.  A byte budget
+    (shared across buckets) bounds HBM use: a bucket whose bank does
+    not fit is simply never cached (those batches keep the host path).
+    """
+
+    def __init__(self, n_rows: int, budget_bytes: int):
+        self.n_rows = int(n_rows)
+        self.budget = int(budget_bytes)
+        self.bytes = 0
+        self._row: Dict[Tuple[str, Tuple[int, int]], int] = {}
+        self._next: Dict[Tuple[int, int], int] = {}
+        self._banks: Dict[Tuple[int, int], jax.Array] = {}
+        self._boxes: Dict[Tuple[str, Tuple[int, int]], np.ndarray] = {}
+        self._uncacheable: set = set()
+
+    def _ensure_bank(self, hw: Tuple[int, int]) -> bool:
+        if hw in self._banks:
+            return True
+        if hw in self._uncacheable:
+            return False
+        need = self.n_rows * hw[0] * hw[1] * 3
+        if self.bytes + need > self.budget:
+            import warnings
+            warnings.warn(
+                f'device image cache: bank for canvas {hw} needs '
+                f'{need / 1e9:.2f} GB but only '
+                f'{(self.budget - self.bytes) / 1e9:.2f} GB of the '
+                f'budget remains — this canvas streams from host instead')
+            self._uncacheable.add(hw)
+            return False
+        self._banks[hw] = jnp.zeros((self.n_rows, *hw, 3), jnp.uint8)
+        self._next[hw] = 0
+        self.bytes += need
+        return True
+
+    def add_batch(self, hw: Tuple[int, int], lines: Sequence[str],
+                  images_dev, boxes_np: np.ndarray) -> None:
+        """Write an already-transferred decoded batch into the bank.
+
+        Called from the consumer right after the epoch-1 host path has
+        the batch on device anyway, so caching costs no extra transfer.
+        Re-seen lines rewrite their existing row (same content)."""
+        hw = tuple(hw)
+        if not self._ensure_bank(hw):
+            return
+        rows = np.empty(len(lines), np.int32)
+        for i, line in enumerate(lines):
+            key = (line, hw)
+            row = self._row.get(key)
+            if row is None:
+                row = self._next[hw]
+                if row >= self.n_rows:  # defensive; pre-sized to fit
+                    self._uncacheable.add(hw)
+                    return
+                self._row[key] = row
+                self._next[hw] = row + 1
+                self._boxes[key] = np.array(boxes_np[i])
+            rows[i] = row
+        self._banks[hw] = _bank_scatter(self._banks[hw],
+                                        jnp.asarray(rows), images_dev)
+
+    def has(self, hw: Tuple[int, int], lines: Sequence[str]) -> bool:
+        hw = tuple(hw)
+        if hw not in self._banks:
+            return False
+        return all((line, hw) in self._row for line in lines)
+
+    def gather_args(self, hw: Tuple[int, int], lines: Sequence[str],
+                    max_boxes: int):
+        """(bank, row idx [B] i32, boxes [B, max_boxes, 5] f32)."""
+        hw = tuple(hw)
+        idx = np.asarray([self._row[(line, hw)] for line in lines],
+                         np.int32)
+        boxes = np.zeros((len(lines), max_boxes, 5), np.float32)
+        for i, line in enumerate(lines):
+            boxes[i] = self._boxes[(line, hw)]
+        return self._banks[hw], idx, boxes
+
+
 def _freeze(d: Dict) -> Tuple:
     """Dict -> hashable tuple (for jit static args)."""
     out = []
@@ -153,7 +275,9 @@ class MultiGridDataGenerator:
                  drop_remainder: bool = True,
                  multi_anchor_assign: bool = False,
                  cache_images: bool = False,
-                 disk_cache_dir: Optional[str] = None):
+                 disk_cache_dir: Optional[str] = None,
+                 cache_images_device: bool = False,
+                 device_cache_budget: int = 4 << 30):
         self.lines = list(annotation_lines)
         self.anchors = [np.asarray(a, np.float32) for a in anchors]
         self.num_classes = num_classes
@@ -172,6 +296,11 @@ class MultiGridDataGenerator:
         self.multi_anchor_assign = multi_anchor_assign
         self._anchors_tuple = tuple(
             tuple(map(tuple, a.tolist())) for a in self.anchors)
+        # HBM-resident decoded-image bank: epoch >= 2 batches gather on
+        # device instead of re-streaming raw pixels over the host link
+        self._dcache = (_DeviceImageCache(len(self.lines),
+                                          device_cache_budget)
+                        if cache_images_device else None)
 
     def __len__(self):
         if self.drop_remainder:
@@ -241,7 +370,14 @@ class MultiGridDataGenerator:
                         idx = np.resize(idx, self.batch_size)
                     batch_lines = [self.lines[i] for i in idx]
                     hw = self._pick_shape(step)
-                    q.put((self.loader.load_batch(batch_lines, hw), hw))
+                    if (self._dcache is not None
+                            and self._dcache.has(hw, batch_lines)):
+                        # every pixel is already in the HBM bank — skip
+                        # the host load entirely; the consumer gathers
+                        q.put((None, batch_lines, hw))
+                    else:
+                        q.put((self.loader.load_batch(batch_lines, hw),
+                               batch_lines, hw))
                 q.put(None)
             except BaseException as exc:  # propagate to the consumer —
                 # a swallowed producer error would silently end the epoch
@@ -256,9 +392,28 @@ class MultiGridDataGenerator:
                 break
             if isinstance(item, BaseException):
                 raise item
-            (images_u8, boxes), hw = item
-            yield self.process_batch(images_u8, boxes, hw)
+            payload, batch_lines, hw = item
+            if payload is None:
+                yield self._process_batch_from_bank(batch_lines, hw)
+                continue
+            images_u8, boxes = payload
+            images_dev = jnp.asarray(images_u8)
+            if self._dcache is not None:
+                self._dcache.add_batch(hw, batch_lines, images_dev, boxes)
+            yield self.process_batch(images_dev, boxes, hw)
         thread.join()
+
+    def _process_batch_from_bank(self, batch_lines: Sequence[str],
+                                 input_hw: Tuple[int, int]):
+        """Device-cached batch: gather bank rows + aug + encode, fused."""
+        hw = tuple(input_hw)
+        bank, idx, boxes = self._dcache.gather_args(hw, batch_lines,
+                                                    self.max_boxes)
+        self.key, sub = jax.random.split(self.key)
+        return _device_stage_bank(
+            bank, jnp.asarray(idx), jnp.asarray(boxes), sub,
+            _freeze(self.augment_cfg), self._anchors_tuple,
+            self.num_classes, hw, self.train, self.multi_anchor_assign)
 
     def close(self):
         self.loader.close()

@@ -104,6 +104,13 @@ class MultiGridTrainer:
         workers = int(loader_cfg.get('num_workers', 8))
         cache_images = bool(loader_cfg.get('cache_images', False))
         disk_cache_dir = loader_cfg.get('disk_cache_dir')
+        # HBM-resident decoded-image bank (pipeline._DeviceImageCache):
+        # epoch >= 2 assembles batches on device, independent of the
+        # host->device link.  Budget-gated: datasets that don't fit keep
+        # the streaming path (a warning says which canvas fell back).
+        cache_device = bool(loader_cfg.get('cache_images_device', False))
+        device_budget = int(float(loader_cfg.get(
+            'device_cache_budget_gb', 4.0)) * (1 << 30))
         multi_anchor = bool(self.training_cfg.get('multi_anchor_assign',
                                                   False))
         self.train_gen = MultiGridDataGenerator(
@@ -111,12 +118,16 @@ class MultiGridTrainer:
             hw, batch_size, max_boxes, aug_cfg, train=True,
             rescale_interval=rescale_interval, num_workers=workers,
             multi_anchor_assign=multi_anchor, cache_images=cache_images,
-            disk_cache_dir=disk_cache_dir)
+            disk_cache_dir=disk_cache_dir,
+            cache_images_device=cache_device,
+            device_cache_budget=device_budget)
         self.val_gen = MultiGridDataGenerator(
             self.val_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, {'enabled': False}, train=False,
             num_workers=workers,
-            disk_cache_dir=disk_cache_dir) if self.val_lines else None
+            disk_cache_dir=disk_cache_dir,
+            cache_images_device=cache_device,
+            device_cache_budget=device_budget) if self.val_lines else None
 
     def build_model(self, rng_seed: int = 0):
         self.model, self.spec = build_model_from_config(

@@ -211,3 +211,89 @@ def test_generator_propagates_producer_errors(files, monkeypatch):
         for _ in it:
             pass
     gen.close()
+
+
+def _epoch_arrays(gen):
+    return [(np.asarray(img), [np.asarray(t) for t in y])
+            for img, y, _ in gen]
+
+
+def _assert_epochs_equal(ea, eb, atol=0.0):
+    assert len(ea) == len(eb)
+    for (ia, ya), (ib, yb) in zip(ea, eb):
+        np.testing.assert_allclose(ia, ib, atol=atol)
+        for ta, tb in zip(ya, yb):
+            np.testing.assert_allclose(ta, tb, atol=atol)
+
+
+def test_device_cache_epoch2_matches_host_path(files):
+    """cache_images_device: epoch 1 populates the HBM bank while serving
+    host-path batches; epoch 2 is assembled ON DEVICE (bank gather) and
+    must be numerically identical to the plain host-streaming generator
+    with the same seed — through the full aug + 9-cell-encode program."""
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=2, max_boxes=4,
+              augment={'enabled': True, 'hflip_prob': 0.5,
+                       'mosaic_prob': 0.3, 'scale_range': (0.8, 1.2)},
+              train=True, seed=11)
+    plain = MultiGridDataGenerator(files, **kw)
+    cached = MultiGridDataGenerator(files, cache_images_device=True, **kw)
+    _assert_epochs_equal(_epoch_arrays(plain), _epoch_arrays(cached))
+    # bank fully populated after one epoch: every line device-resident
+    assert cached._dcache.has((64, 64), files)
+    assert cached._dcache._next[(64, 64)] == len(files)
+    _assert_epochs_equal(_epoch_arrays(plain), _epoch_arrays(cached))
+    # third epoch (pure bank path) still matches
+    _assert_epochs_equal(_epoch_arrays(plain), _epoch_arrays(cached))
+    plain.close()
+    cached.close()
+
+
+def test_device_cache_budget_fallback(files):
+    """A bank that exceeds the byte budget is never allocated; the
+    generator keeps the host path and stays correct."""
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=2, max_boxes=4, augment={'enabled': False},
+              train=False, seed=3)
+    plain = MultiGridDataGenerator(files, **kw)
+    capped = MultiGridDataGenerator(files, cache_images_device=True,
+                                    device_cache_budget=1, **kw)
+    with pytest.warns(UserWarning, match='budget'):
+        eb = _epoch_arrays(capped)
+    _assert_epochs_equal(_epoch_arrays(plain), eb)
+    assert not capped._dcache.has((64, 64), files)
+    _assert_epochs_equal(_epoch_arrays(plain), _epoch_arrays(capped))
+    plain.close()
+    capped.close()
+
+
+def test_device_cache_partial_batch_wrap(files):
+    """drop_remainder=False wraps the final short batch with duplicate
+    lines — the bank must absorb the duplicates (same row rewritten) and
+    epoch 2 must still match the plain generator."""
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=4, max_boxes=4, augment={'enabled': False},
+              train=False, drop_remainder=False, seed=5)
+    plain = MultiGridDataGenerator(files, **kw)
+    cached = MultiGridDataGenerator(files, cache_images_device=True, **kw)
+    _assert_epochs_equal(_epoch_arrays(plain), _epoch_arrays(cached))
+    assert cached._dcache._next[(64, 64)] == len(files)
+    _assert_epochs_equal(_epoch_arrays(plain), _epoch_arrays(cached))
+    plain.close()
+    cached.close()
+
+
+def test_device_cache_multiscale_buckets(files):
+    """Each multi-scale bucket gets its own bank; once a bucket's lines
+    are all cached its batches gather on device, and the stream stays
+    identical to the host-path generator with the same seed."""
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=2, max_boxes=4, augment={'enabled': True},
+              train=True, rescale_interval=1, seed=9)
+    plain = MultiGridDataGenerator(files, **kw)
+    cached = MultiGridDataGenerator(files, cache_images_device=True, **kw)
+    for _ in range(3):
+        _assert_epochs_equal(_epoch_arrays(plain), _epoch_arrays(cached))
+    assert set(cached._dcache._banks) <= {(32, 32), (64, 64)}
+    plain.close()
+    cached.close()
