@@ -150,6 +150,18 @@ def bench_train(batch=32):
     return out
 
 
+def _last_json_line(proc) -> str:
+    """Last JSON stdout line of a bench subprocess, or a RuntimeError
+    carrying the child's actual failure (returncode + stderr tail)
+    instead of an IndexError on empty output."""
+    lines = [l for l in proc.stdout.splitlines() if l.startswith('{')]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f'bench subprocess failed (rc={proc.returncode}): '
+            f'{proc.stderr[-800:]}')
+    return lines[-1]
+
+
 def bench_train_e2e():
     """Real-data end-to-end training throughput (VERDICT r3 #3).
 
@@ -167,14 +179,24 @@ def bench_train_e2e():
         [sys.executable, os.path.join(repo, 'tools', 'bench_train_e2e.py'),
          '32', '416', '3'],
         capture_output=True, text=True, timeout=1800, cwd=repo)
-    line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
-    got = json.loads(line)
-    return {
+    got = json.loads(_last_json_line(proc))
+    out = {
         'train_e2e_images_per_sec': got['e2e_img_per_s'],
         'train_e2e_images_per_sec_min': got['e2e_img_per_s_min'],
         'train_e2e_images_per_sec_max': got['e2e_img_per_s_max'],
         'train_e2e_over_pure_step': got['e2e_over_pure'],
     }
+    # HBM image-bank steady state (cache_images_device): epoch >= 2
+    # gathers pixels on device; host link carries only boxes + indices
+    if 'hbm_img_per_s' in got:
+        out['train_e2e_hbm_images_per_sec'] = got['hbm_img_per_s']
+        out['train_e2e_hbm_over_pure_step'] = got['hbm_over_pure']
+    # fused single-program path (make_fused_train_step over the HBM
+    # bank): aug + encode + forward + backward + update, ONE dispatch
+    if 'fused_img_per_s' in got:
+        out['train_e2e_fused_images_per_sec'] = got['fused_img_per_s']
+        out['train_e2e_fused_over_pure_step'] = got['fused_over_pure']
+    return out
 
 
 def bench_pipeline():
@@ -187,16 +209,27 @@ def bench_pipeline():
     repo = os.path.dirname(os.path.abspath(__file__))
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, 'tools', 'bench_pipeline.py'),
-         'ours', 'cold,disk,ram'],
-        capture_output=True, text=True, timeout=1800, cwd=repo)
-    line = [l for l in proc.stdout.splitlines() if l.startswith('{')][-1]
-    got = json.loads(line)
+         'both', 'cold,disk,ram,hbm'],
+        capture_output=True, text=True, timeout=2400, cwd=repo)
+    got = json.loads(_last_json_line(proc))
     out = {
         'pipeline_sps_cold': got['ours_sps_cold'],
         'pipeline_sps_diskwarm': got['ours_sps_disk'],
         'pipeline_sps_ramwarm': got['ours_sps_ram'],
         'pipeline_repeats': got.get('ours_sps_ram_n'),
     }
+    # the reference tf.data side, measured in the SAME subprocess on the
+    # SAME host, so the >=5x BASELINE.md target is driver-visible as a
+    # ratio rather than asserted against a one-time recording
+    if 'reference_sps' in got:
+        out['pipeline_reference_sps'] = got['reference_sps']
+        out['pipeline_vs_reference'] = round(
+            got['ours_sps_ram'] / got['reference_sps'], 2)
+    if 'ours_sps_hbm' in got:
+        out['pipeline_sps_hbm'] = got['ours_sps_hbm']
+        if 'reference_sps' in got:
+            out['pipeline_hbm_vs_reference'] = round(
+                got['ours_sps_hbm'] / got['reference_sps'], 2)
     # spread makes single-run instability driver-visible (VERDICT r3 #2)
     for mode, key in (('disk', 'diskwarm'), ('ram', 'ramwarm')):
         for stat in ('min', 'max'):

@@ -166,15 +166,23 @@ class _DeviceImageCache:
     not fit is simply never cached (those batches keep the host path).
     """
 
-    def __init__(self, n_rows: int, budget_bytes: int):
+    def __init__(self, n_rows: int, budget_bytes: int,
+                 ledger: Optional[Dict[str, int]] = None):
         self.n_rows = int(n_rows)
         self.budget = int(budget_bytes)
-        self.bytes = 0
+        # shared byte ledger: several caches (e.g. the trainer's train +
+        # val generators) can draw from ONE budget so
+        # `device_cache_budget_gb` bounds total HBM use, not per-cache
+        self._ledger = ledger if ledger is not None else {'bytes': 0}
         self._row: Dict[Tuple[str, Tuple[int, int]], int] = {}
         self._next: Dict[Tuple[int, int], int] = {}
         self._banks: Dict[Tuple[int, int], jax.Array] = {}
         self._boxes: Dict[Tuple[str, Tuple[int, int]], np.ndarray] = {}
         self._uncacheable: set = set()
+
+    @property
+    def bytes(self) -> int:
+        return self._ledger['bytes']
 
     def _ensure_bank(self, hw: Tuple[int, int]) -> bool:
         if hw in self._banks:
@@ -193,7 +201,7 @@ class _DeviceImageCache:
             return False
         self._banks[hw] = jnp.zeros((self.n_rows, *hw, 3), jnp.uint8)
         self._next[hw] = 0
-        self.bytes += need
+        self._ledger['bytes'] += need
         return True
 
     def add_batch(self, hw: Tuple[int, int], lines: Sequence[str],
@@ -207,24 +215,32 @@ class _DeviceImageCache:
         if not self._ensure_bank(hw):
             return
         rows = np.empty(len(lines), np.int32)
+        inserted = []
         for i, line in enumerate(lines):
             key = (line, hw)
             row = self._row.get(key)
             if row is None:
                 row = self._next[hw]
                 if row >= self.n_rows:  # defensive; pre-sized to fit
+                    # roll back this call's inserts: a _row entry whose
+                    # pixels were never scattered would make has() return
+                    # True and later epochs gather all-zero images
+                    for k in inserted:
+                        del self._row[k]
+                        del self._boxes[k]
                     self._uncacheable.add(hw)
                     return
                 self._row[key] = row
                 self._next[hw] = row + 1
                 self._boxes[key] = np.array(boxes_np[i])
+                inserted.append(key)
             rows[i] = row
         self._banks[hw] = _bank_scatter(self._banks[hw],
                                         jnp.asarray(rows), images_dev)
 
     def has(self, hw: Tuple[int, int], lines: Sequence[str]) -> bool:
         hw = tuple(hw)
-        if hw not in self._banks:
+        if hw not in self._banks or hw in self._uncacheable:
             return False
         return all((line, hw) in self._row for line in lines)
 
@@ -277,7 +293,8 @@ class MultiGridDataGenerator:
                  cache_images: bool = False,
                  disk_cache_dir: Optional[str] = None,
                  cache_images_device: bool = False,
-                 device_cache_budget: int = 4 << 30):
+                 device_cache_budget: int = 4 << 30,
+                 device_cache_ledger: Optional[Dict[str, int]] = None):
         self.lines = list(annotation_lines)
         self.anchors = [np.asarray(a, np.float32) for a in anchors]
         self.num_classes = num_classes
@@ -297,9 +314,12 @@ class MultiGridDataGenerator:
         self._anchors_tuple = tuple(
             tuple(map(tuple, a.tolist())) for a in self.anchors)
         # HBM-resident decoded-image bank: epoch >= 2 batches gather on
-        # device instead of re-streaming raw pixels over the host link
+        # device instead of re-streaming raw pixels over the host link.
+        # device_cache_ledger (optional) shares ONE byte budget between
+        # several generators (the trainer passes one for train + val).
         self._dcache = (_DeviceImageCache(len(self.lines),
-                                          device_cache_budget)
+                                          device_cache_budget,
+                                          ledger=device_cache_ledger)
                         if cache_images_device else None)
 
     def __len__(self):
@@ -336,13 +356,12 @@ class MultiGridDataGenerator:
             self.num_classes, hw, self.train, self.multi_anchor_assign)
         return images, y_true, aug_boxes
 
-    def __iter__(self):
-        """Iterate batches with host-side prefetch.
-
-        A producer thread runs decode + letterbox for the next batches
-        while the device executes the current one (replaces the
-        reference's tf.data prefetch, generators.py:2131).
-        """
+    def _prefetched(self):
+        """Host-side prefetch: a producer thread runs decode + letterbox
+        for the next batches while the device executes the current one
+        (replaces the reference's tf.data prefetch, generators.py:2131).
+        Yields ``(payload_or_None, batch_lines, hw)`` — payload is None
+        when every pixel of the batch is resident in the HBM bank."""
         import queue
         import threading
 
@@ -392,7 +411,12 @@ class MultiGridDataGenerator:
                 break
             if isinstance(item, BaseException):
                 raise item
-            payload, batch_lines, hw = item
+            yield item
+        thread.join()
+
+    def __iter__(self):
+        """Iterate processed batches ``(images, y_true, boxes)``."""
+        for payload, batch_lines, hw in self._prefetched():
             if payload is None:
                 yield self._process_batch_from_bank(batch_lines, hw)
                 continue
@@ -401,7 +425,30 @@ class MultiGridDataGenerator:
             if self._dcache is not None:
                 self._dcache.add_batch(hw, batch_lines, images_dev, boxes)
             yield self.process_batch(images_dev, boxes, hw)
-        thread.join()
+
+    def iter_raw(self):
+        """Iterate RAW batches for a fused train step (training/steps.py
+        make_fused_train_step): the device stage is NOT run here — the
+        consumer folds it into its own single XLA program.
+
+        Yields ``('host', images_u8_dev, boxes_np, hw, key)`` for
+        streamed batches (pixels already transferred, uint8) or
+        ``('bank', bank, idx_np, boxes_np, hw, key)`` when every pixel
+        of the batch is resident in the HBM image bank.  ``key`` is the
+        per-batch PRNG key the fused stage should use.
+        """
+        for payload, batch_lines, hw in self._prefetched():
+            self.key, sub = jax.random.split(self.key)
+            if payload is None:
+                bank, idx, boxes = self._dcache.gather_args(
+                    hw, batch_lines, self.max_boxes)
+                yield ('bank', bank, idx, boxes, hw, sub)
+                continue
+            images_u8, boxes = payload
+            images_dev = jnp.asarray(images_u8)
+            if self._dcache is not None:
+                self._dcache.add_batch(hw, batch_lines, images_dev, boxes)
+            yield ('host', images_dev, boxes, hw, sub)
 
     def _process_batch_from_bank(self, batch_lines: Sequence[str],
                                  input_hw: Tuple[int, int]):

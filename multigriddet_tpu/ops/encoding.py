@@ -102,6 +102,19 @@ def _encode_one_image(boxes: jnp.ndarray,
     in_h, in_w = input_hw
     num_layers = len(grids)
 
+    # Stable-partition valid boxes to the front and loop only over them:
+    # the box list is padded to max_boxes x capacity expansion (x8 under
+    # mosaic+mixup => 800 rows at max_boxes=100) but typically holds tens
+    # of real boxes.  Padding rows never write (valid gates on_layer), so
+    # reordering them is invisible in the output — and a while_loop
+    # bounded by the VALID count replaces an 800-step sequential scan
+    # with a data-dependent handful of iterations on the TPU.
+    valid0 = ((boxes[:, 2] - boxes[:, 0])
+              * (boxes[:, 3] - boxes[:, 1])) > 0.0
+    perm = jnp.argsort(jnp.logical_not(valid0), stable=True)
+    boxes = boxes[perm]
+    n_valid = jnp.sum(valid0.astype(jnp.int32))
+
     xy = jnp.floor((boxes[:, 0:2] + boxes[:, 2:4]) / 2.0)  # ref uses // 2
     wh = boxes[:, 2:4] - boxes[:, 0:2]
     cls = boxes[:, 4].astype(jnp.int32)
@@ -124,8 +137,8 @@ def _encode_one_image(boxes: jnp.ndarray,
     ki = jnp.asarray(_KI, jnp.int32)
     kj = jnp.asarray(_KJ, jnp.int32)
 
-    def body(carry, t):
-        grids_c = carry
+    def body(carry):
+        grids_c, t = carry
         box_xy = xy[t]
         box_layer, box_cls, box_valid = (sel_layer[t], cls[t], valid[t])
 
@@ -187,10 +200,11 @@ def _encode_one_image(boxes: jnp.ndarray,
             si = jnp.where(write, ci, gw)
             g = g.at[sj, si, :].set(vals, mode='drop', unique_indices=True)
             new_grids.append(g)
-        return tuple(new_grids), None
+        return tuple(new_grids), t + 1
 
-    n = boxes.shape[0]
-    grids_out, _ = jax.lax.scan(body, grids, jnp.arange(n))
+    grids_out, _ = jax.lax.while_loop(
+        lambda c: c[1] < n_valid, body,
+        (grids, jnp.zeros((), jnp.int32)))
     return grids_out
 
 

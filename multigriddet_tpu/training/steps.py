@@ -55,6 +55,18 @@ def make_train_step(model, tx: optax.GradientTransformation,
     is a tree, each step also updates
     ``ema' = d * ema + (1 - d) * params`` inside the same XLA program.
     """
+    core = _build_train_core(model, tx, anchors, num_classes, loss_cfg,
+                             class_weights, mesh, strides, freeze_level,
+                             ema_decay)
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(core, donate_argnums=donate_argnums)
+
+
+def _build_train_core(model, tx, anchors, num_classes,
+                      loss_cfg=LossConfig(), class_weights=None, mesh=None,
+                      strides=(32, 16, 8), freeze_level=0, ema_decay=None):
+    """Un-jitted (state, images, y_true) -> (state, metrics) train body,
+    shared by :func:`make_train_step` and :func:`make_fused_train_step`."""
     anchors = [np.asarray(a, np.float32) for a in anchors]
 
     def loss_fn(params, batch_stats, images, y_true):
@@ -78,7 +90,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
                 train=True, mutable=['batch_stats'])
             new_bs = mut['batch_stats']
         total, metrics = multigrid_loss(
-            outs, list(y_true), anchors, num_classes, input_hw, loss_cfg,
+            outs, list(y_true), anchors, num_classes,
+            tuple(images.shape[1:3]), loss_cfg,
             class_weights, strides=strides)
         return total, (new_bs, metrics)
 
@@ -104,8 +117,78 @@ def make_train_step(model, tx: optax.GradientTransformation,
         metrics['loss'] = loss
         return new_state, metrics
 
+    return step
+
+
+def make_fused_train_step(model, tx: optax.GradientTransformation,
+                          anchors: Sequence[np.ndarray], num_classes: int,
+                          loss_cfg: LossConfig = LossConfig(),
+                          aug_cfg: Optional[dict] = None,
+                          class_weights: Optional[jnp.ndarray] = None,
+                          mesh: Optional[Mesh] = None,
+                          donate: bool = True,
+                          strides: Tuple[int, ...] = (32, 16, 8),
+                          freeze_level: int = 0,
+                          ema_decay: Optional[float] = None,
+                          multi_anchor_assign: bool = False,
+                          train_aug: bool = True):
+    """Fully fused training step: input stage + model update, ONE program.
+
+    The generator path runs TWO jitted programs per batch — the device
+    aug+encode stage (data/pipeline._device_stage) and the train step —
+    serialized through an intermediate f32 image + y_true round-trip in
+    HBM and a second host dispatch.  This builder fuses them: a single
+    XLA program takes the raw uint8 batch (or an HBM image-bank gather),
+    runs augmentation + 9-cell target encoding + forward + MultiGridLoss
+    + backward + optimizer update, letting XLA fuse the normalize into
+    the first conv and delete the intermediate y_true materialization.
+    Replaces the reference's host-side generator + model.fit split
+    (generators.py:1766-2133 feeding multigriddet_darknet.py:647-726).
+
+    Returns ``(host_step, bank_step)``:
+      host_step(state, images_u8 [B,H,W,3], boxes [B,N,5], key)
+      bank_step(state, bank [R,H,W,3] u8, idx [B] i32, boxes, key)
+    Both return ``(new_state, metrics)``.  The canvas (h, w) is read
+    from the pixel argument's shape, so multi-scale buckets compile one
+    program each under the same callable.
+    """
+    from ..data.pipeline import _device_stage, _freeze
+    anchors_np = [np.asarray(a, np.float32) for a in anchors]
+    anchors_tuple = tuple(tuple(map(tuple, a.tolist())) for a in anchors_np)
+    frozen_aug = _freeze(dict(aug_cfg or {}))
+    core = _build_train_core(model, tx, anchors_np, num_classes, loss_cfg,
+                             class_weights, mesh, strides, freeze_level,
+                             ema_decay)
+
+    def _stage_and_step(state, images_u8, boxes, key):
+        hw = tuple(int(s) for s in images_u8.shape[1:3])
+        images, y_true, _ = _device_stage(
+            images_u8, boxes, key, frozen_aug, anchors_tuple, num_classes,
+            hw, train_aug, multi_anchor_assign)
+        return core(state, images, y_true)
+
+    def host_step(state, images_u8, boxes, key):
+        if mesh is not None:
+            spec = image_partition_spec(mesh)
+            images_u8 = jax.lax.with_sharding_constraint(
+                images_u8, NamedSharding(mesh, spec))
+            boxes = jax.lax.with_sharding_constraint(
+                boxes, NamedSharding(mesh, P('batch')))
+        return _stage_and_step(state, images_u8, boxes, key)
+
+    def bank_step(state, bank, idx, boxes, key):
+        if mesh is not None:
+            boxes = jax.lax.with_sharding_constraint(
+                boxes, NamedSharding(mesh, P('batch')))
+        images_u8 = bank[idx]
+        if mesh is not None:
+            images_u8 = jax.lax.with_sharding_constraint(
+                images_u8, NamedSharding(mesh, image_partition_spec(mesh)))
+        return _stage_and_step(state, images_u8, boxes, key)
+
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    return (jax.jit(host_step, donate_argnums=donate_argnums),
+            jax.jit(bank_step, donate_argnums=donate_argnums))
 
 
 def make_eval_step(model, anchors: Sequence[np.ndarray], num_classes: int,

@@ -38,10 +38,13 @@ from .state import TrainState, count_params, create_train_state, \
     partition_optimizer
 from ..parallel import distributed as dist
 from ..parallel import image_partition_spec
-from .steps import make_eval_step, make_mesh, make_train_step
+from .steps import (make_eval_step, make_fused_train_step, make_mesh,
+                    make_train_step)
 
 
 class MultiGridTrainer:
+
+    _fused_steps = None  # set per stage by _make_stage
 
     def __init__(self, config: Dict[str, Any], mesh=None):
         self.config = config
@@ -111,6 +114,9 @@ class MultiGridTrainer:
         cache_device = bool(loader_cfg.get('cache_images_device', False))
         device_budget = int(float(loader_cfg.get(
             'device_cache_budget_gb', 4.0)) * (1 << 30))
+        # ONE byte ledger shared by the train + val caches so the
+        # configured budget bounds TOTAL HBM use, not per-generator
+        device_ledger = {'bytes': 0} if cache_device else None
         multi_anchor = bool(self.training_cfg.get('multi_anchor_assign',
                                                   False))
         self.train_gen = MultiGridDataGenerator(
@@ -120,14 +126,16 @@ class MultiGridTrainer:
             multi_anchor_assign=multi_anchor, cache_images=cache_images,
             disk_cache_dir=disk_cache_dir,
             cache_images_device=cache_device,
-            device_cache_budget=device_budget)
+            device_cache_budget=device_budget,
+            device_cache_ledger=device_ledger)
         self.val_gen = MultiGridDataGenerator(
             self.val_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, {'enabled': False}, train=False,
             num_workers=workers,
             disk_cache_dir=disk_cache_dir,
             cache_images_device=cache_device,
-            device_cache_budget=device_budget) if self.val_lines else None
+            device_cache_budget=device_budget,
+            device_cache_ledger=device_ledger) if self.val_lines else None
 
     def build_model(self, rng_seed: int = 0):
         self.model, self.spec = build_model_from_config(
@@ -226,15 +234,48 @@ class MultiGridTrainer:
             self.model, tx, self.spec['anchors'], self.spec['num_classes'],
             hw, loss_cfg, cw, mesh=self.mesh, freeze_level=freeze_level,
             ema_decay=ema_decay)
+        # fused single-program path (training.fused_input_stage, default
+        # on): aug + 9-cell encode + forward + backward + update in ONE
+        # XLA dispatch per batch, fed raw uint8 batches (or HBM-bank
+        # gathers) by iter_raw — halves per-batch host dispatches and
+        # deletes the intermediate f32-image + y_true HBM round-trip.
+        # Multi-process keeps the two-program path: its put_global
+        # contract assembles GLOBAL arrays from per-host shards, which
+        # the per-host bank gather can't express.
+        self._fused_steps = None
+        if (bool(self.training_cfg.get('fused_input_stage', True))
+                and not dist.is_multiprocess()):
+            self._fused_steps = make_fused_train_step(
+                self.model, tx, self.spec['anchors'],
+                self.spec['num_classes'], loss_cfg,
+                aug_cfg=self.train_gen.augment_cfg, class_weights=cw,
+                mesh=self.mesh, freeze_level=freeze_level,
+                ema_decay=ema_decay,
+                multi_anchor_assign=self.train_gen.multi_anchor_assign)
         eval_step = make_eval_step(
             self.model, self.spec['anchors'], self.spec['num_classes'],
             hw, loss_cfg, cw, mesh=self.mesh)
         return state, train_step, eval_step, schedule
 
-    def _run_epoch(self, state, train_step, epoch: int):
-        t0 = time.time()
-        agg, n = {}, 0
+    def _train_batches(self, state):
+        """Yield ``(state, metrics)`` per batch — fused single-program
+        path when enabled, otherwise the two-program generator path."""
+        if self._fused_steps is not None:
+            host_step, bank_step = self._fused_steps
+            for item in self.train_gen.iter_raw():
+                if item[0] == 'bank':
+                    _, bank, idx, boxes, hw, key = item
+                    state, metrics = bank_step(
+                        state, bank, jnp.asarray(idx), jnp.asarray(boxes),
+                        key)
+                else:
+                    _, images_u8, boxes, hw, key = item
+                    state, metrics = host_step(
+                        state, images_u8, jnp.asarray(boxes), key)
+                yield state, metrics
+            return
         batch_spec = jax.sharding.PartitionSpec('batch')
+        train_step = self._train_step
         for images, y_true, _ in self.train_gen:
             # put_global: plain sharded device_put single-process; the
             # process-local shard of the global batch under multi-host
@@ -245,6 +286,13 @@ class MultiGridTrainer:
             y_true = tuple(dist.put_global(self.mesh, batch_spec, y)
                            for y in y_true)
             state, metrics = train_step(state, images, y_true)
+            yield state, metrics
+
+    def _run_epoch(self, state, train_step, epoch: int):
+        t0 = time.time()
+        agg, n = {}, 0
+        self._train_step = train_step
+        for state, metrics in self._train_batches(state):
             n += 1
             if (n % 50 == 0 or n == 1) and dist.is_primary():
                 m = {k: float(v) for k, v in metrics.items()}

@@ -297,3 +297,69 @@ def test_device_cache_multiscale_buckets(files):
     assert set(cached._dcache._banks) <= {(32, 32), (64, 64)}
     plain.close()
     cached.close()
+
+def test_device_cache_shared_ledger_bounds_total(files):
+    """Two generators sharing one ledger draw from ONE byte budget (the
+    trainer passes a shared ledger for train + val so
+    `device_cache_budget_gb` bounds TOTAL HBM use, not per-generator)."""
+    bank_bytes = len(files) * 64 * 64 * 3
+    ledger = {'bytes': 0}
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=2, max_boxes=4, augment={'enabled': False},
+              train=False, cache_images_device=True,
+              device_cache_budget=int(bank_bytes * 1.5),
+              device_cache_ledger=ledger)
+    a = MultiGridDataGenerator(files, seed=1, **kw)
+    b = MultiGridDataGenerator(files, seed=2, **kw)
+    _epoch_arrays(a)                      # a allocates its bank
+    assert ledger['bytes'] == bank_bytes
+    with pytest.warns(UserWarning, match='budget'):
+        eb = _epoch_arrays(b)             # b cannot: 1.5x budget is spent
+    assert not b._dcache.has((64, 64), files)
+    assert a._dcache.has((64, 64), files)
+    # b stays correct on the host path
+    plain = MultiGridDataGenerator(
+        files, anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+        batch_size=2, max_boxes=4, augment={'enabled': False},
+        train=False, seed=2)
+    _assert_epochs_equal(_epoch_arrays(plain), eb)
+    for g in (a, b, plain):
+        g.close()
+
+
+def _materialize_raw(gen, item):
+    """Apply the device stage to one iter_raw item (what a fused train
+    step does inside its own program)."""
+    import jax.numpy as jnp
+
+    from multigriddet_tpu.data.pipeline import _device_stage, _freeze
+    if item[0] == 'host':
+        _, images_u8, boxes, hw, key = item
+    else:
+        _, bank, idx, boxes, hw, key = item
+        images_u8 = np.asarray(bank)[np.asarray(idx)]
+    img, y, _ = _device_stage(
+        jnp.asarray(images_u8), jnp.asarray(boxes), key,
+        _freeze(gen.augment_cfg), gen._anchors_tuple, gen.num_classes,
+        tuple(hw), gen.train, gen.multi_anchor_assign)
+    return np.asarray(img), [np.asarray(t) for t in y]
+
+
+def test_iter_raw_matches_iter(files):
+    """iter_raw (the fused-train-step feed) + a manual device stage must
+    reproduce __iter__ exactly — same shuffle order, same per-batch PRNG
+    keys, same bank handoff from epoch 2 on."""
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=2, max_boxes=4,
+              augment={'enabled': True, 'hflip_prob': 0.5,
+                       'mosaic_prob': 0.3},
+              train=True, seed=13, cache_images_device=True)
+    a = MultiGridDataGenerator(files, **kw)
+    b = MultiGridDataGenerator(files, **kw)
+    for epoch in range(2):  # epoch 1 host path, epoch 2 bank path
+        raw = [_materialize_raw(b, item) for item in b.iter_raw()]
+        _assert_epochs_equal(_epoch_arrays(a), raw)
+    kinds = [item[0] for item in b.iter_raw()]
+    assert set(kinds) == {'bank'}  # epoch 3: fully device-resident
+    a.close()
+    b.close()

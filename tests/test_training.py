@@ -400,3 +400,83 @@ def test_builder_entry_points(tmp_path):
                for l in jax.tree.leaves(vars3['params']['backbone']))
     assert not np.allclose(
         np.asarray(jax.tree.leaves(vars3['params']['head'])[0]), 0.125)
+
+
+def test_fused_train_step_matches_two_program_path(setup):
+    """make_fused_train_step runs aug+encode+forward+backward+update in
+    ONE program; with the same PRNG key it must produce the same loss
+    and parameters as the two-program path (_device_stage then
+    make_train_step), and the bank variant (HBM gather) must match the
+    host variant given an identity gather."""
+    from multigriddet_tpu.data.pipeline import _device_stage, _freeze
+    from multigriddet_tpu.training import make_fused_train_step
+
+    model, variables, _, _ = setup
+    rng = np.random.RandomState(7)
+    images_u8 = jnp.asarray(rng.randint(0, 255, (8, *HW, 3)), jnp.uint8)
+    boxes = np.zeros((8, 4, 5), np.float32)
+    boxes[:, 0] = [10, 10, 50, 50, 1]
+    boxes[:, 1] = [30, 34, 44, 60, 2]
+    boxes = jnp.asarray(boxes)
+    key = jax.random.PRNGKey(3)
+    aug = {'enabled': True, 'hflip_prob': 0.5, 'mosaic_prob': 0.3}
+    tx = optax.adam(1e-3)
+    cfg = LossConfig(loss_option=2)
+
+    def fresh_state():
+        return create_train_state(variables['params'],
+                                  variables['batch_stats'], tx)
+
+    # reference: two jitted programs with the same key
+    img_f32, y_true, _ = _device_stage(
+        images_u8, boxes, key, _freeze(aug),
+        tuple(tuple(map(tuple, a.tolist())) for a in ANCHORS), C, HW,
+        True, False)
+    two_step = make_train_step(model, tx, ANCHORS, C, HW, cfg,
+                               donate=False)
+    ref_state, ref_metrics = two_step(fresh_state(), img_f32, y_true)
+
+    host_step, bank_step = make_fused_train_step(
+        model, tx, ANCHORS, C, cfg, aug_cfg=aug, donate=False)
+    f_state, f_metrics = host_step(fresh_state(), images_u8, boxes, key)
+    np.testing.assert_allclose(float(f_metrics['loss']),
+                               float(ref_metrics['loss']), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 ref_state.params, f_state.params)
+
+    # bank variant: identity gather over the same pixels
+    idx = jnp.arange(8, dtype=jnp.int32)
+    b_state, b_metrics = bank_step(fresh_state(), images_u8, idx, boxes,
+                                   key)
+    np.testing.assert_allclose(float(b_metrics['loss']),
+                               float(f_metrics['loss']), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 f_state.params, b_state.params)
+
+
+def test_fused_train_step_on_mesh_decreases_loss(setup):
+    """The fused step compiles and learns over the 8-device mesh with
+    batch-sharded uint8 inputs (the multichip e2e path)."""
+    from multigriddet_tpu.training import make_fused_train_step
+
+    model, variables, _, _ = setup
+    mesh = make_mesh()
+    tx = optax.adam(1e-3)
+    state = create_train_state(variables['params'],
+                               variables['batch_stats'], tx)
+    rng = np.random.RandomState(1)
+    images_u8 = jnp.asarray(rng.randint(0, 255, (8, *HW, 3)), jnp.uint8)
+    boxes = np.zeros((8, 4, 5), np.float32)
+    boxes[:, 0] = [10, 10, 50, 50, 1]
+    boxes = jnp.asarray(boxes)
+    host_step, _ = make_fused_train_step(
+        model, tx, ANCHORS, C, LossConfig(loss_option=2),
+        aug_cfg={'enabled': False}, mesh=mesh, donate=False)
+    images_u8, = shard_batch(mesh, images_u8)
+    losses = []
+    for i in range(6):
+        state, metrics = host_step(state, images_u8, boxes,
+                                   jax.random.PRNGKey(i))
+        losses.append(float(metrics['loss']))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

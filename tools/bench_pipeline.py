@@ -119,6 +119,10 @@ def bench_ours(lines, mode: str = 'ram', repeats: int = 3):
              costs.  The reference re-decodes every epoch of every run
              (generators.py:1837-1843).
       ram  — in-RAM decoded cache warm (epoch>=2 steady state).
+      hbm  — HBM image bank warm (cache_images_device): epoch>=2
+             batches GATHER pixels on device; the host link carries
+             only boxes + row indices (~13 KB/batch at b8) — the
+             steady state a tunneled/bandwidth-limited link can't slow.
 
     Returns a list of ``repeats`` samples/sec figures — single-run
     numbers on this 1-core box swing enough that a 6x anomaly once
@@ -142,6 +146,8 @@ def bench_ours(lines, mode: str = 'ram', repeats: int = 3):
     elif mode == 'disk':
         shutil.rmtree(disk_dir, ignore_errors=True)
         kw.update(cache_images=False, disk_cache_dir=disk_dir)
+    elif mode == 'hbm':
+        kw.update(cache_images=True, cache_images_device=True)
     else:
         kw.update(cache_images=True)
 
@@ -184,7 +190,7 @@ def main():
         print(f'reference tf.data pipeline: {sps:.1f} samples/s')
     if which in ('ours', 'both'):
         if modes == ['all']:
-            modes = ['cold', 'disk', 'ram']
+            modes = ['cold', 'disk', 'ram', 'hbm']
         for mode in modes:
             runs = bench_ours(lines, mode, repeats=repeats)
             med = float(np.median(runs))

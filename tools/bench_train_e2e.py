@@ -17,10 +17,17 @@ the next ``EPOCHS`` epochs are timed individually.  A pure-step leg
 (same step, one staged batch, no input pipeline) runs afterwards in the
 same process so the ratio is apples-to-apples.
 
+A second leg re-runs the same epochs with ``cache_images_device=True``
+(the HBM image bank, data/pipeline.py:_DeviceImageCache): epoch 1 fills
+the bank from the host path, epochs >= 2 gather pixels ON DEVICE so the
+host link carries only boxes + row indices (~65 KB/batch at b32) — the
+steady state a tunneled / bandwidth-limited host link cannot slow down.
+
 Usage: python tools/bench_train_e2e.py [batch=32] [side=416] [epochs=2]
 Prints one JSON line:
-  {e2e_img_per_s, e2e_img_per_s_min/max, pure_step_img_per_s,
-   e2e_over_pure, epochs, steps_per_epoch, loss}
+  {e2e_img_per_s, e2e_img_per_s_min/max, hbm_img_per_s (+min/max),
+   pure_step_img_per_s, e2e_over_pure, hbm_over_pure, epochs,
+   steps_per_epoch, loss}
 """
 
 import json
@@ -46,7 +53,8 @@ from multigriddet_tpu.data import MultiGridDataGenerator  # noqa: E402
 from multigriddet_tpu.losses import LossConfig  # noqa: E402
 from multigriddet_tpu.models import create_model  # noqa: E402
 from multigriddet_tpu.training.state import TrainState  # noqa: E402
-from multigriddet_tpu.training.steps import make_train_step  # noqa: E402
+from multigriddet_tpu.training.steps import (  # noqa: E402
+    make_fused_train_step, make_train_step)
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 SIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 416
@@ -55,6 +63,7 @@ HW = (SIDE, SIDE)
 NUM_CLASSES = 80
 # >= 16 steps/epoch so per-epoch timing is not quantized by one step
 N_IMAGES = max(16 * BATCH, 512)
+AUG = {'enabled': True, 'mosaic_prob': 0.3, 'mixup_prob': 0.1}
 
 
 def run_epoch(gen, state, step):
@@ -77,8 +86,7 @@ def main():
     lines = make_dataset('/tmp/bench_train_e2e_ds', N_IMAGES)
     gen = MultiGridDataGenerator(
         lines, ANCHORS, NUM_CLASSES, HW, BATCH, max_boxes=100,
-        augment={'enabled': True, 'mosaic_prob': 0.3, 'mixup_prob': 0.1},
-        train=True, num_workers=8, cache_images=True)
+        augment=AUG, train=True, num_workers=8, cache_images=True)
 
     model = create_model('multigriddet_darknet', num_classes=NUM_CLASSES,
                          dtype=jnp.bfloat16)
@@ -108,9 +116,67 @@ def main():
               file=sys.stderr)
         assert np.isfinite(loss), loss
 
+    # HBM-bank leg: fresh generator with the device image cache; its
+    # warm epoch fills the bank (host path), the timed epochs gather
+    # pixels on device — host link traffic drops to boxes + indices
+    gen.close()
+    hbm_gen = MultiGridDataGenerator(
+        lines, ANCHORS, NUM_CLASSES, HW, BATCH, max_boxes=100,
+        augment=AUG, train=True, num_workers=8, cache_images=True,
+        cache_images_device=True)
+    state, steps, dt, loss = run_epoch(hbm_gen, state, step)
+    print(f'hbm warm epoch: {steps} steps in {dt:.1f}s '
+          f'(bank {hbm_gen._dcache.bytes / 1e6:.0f} MB)', file=sys.stderr)
+    hbm_rates = []
+    for e in range(EPOCHS):
+        state, steps, dt, loss = run_epoch(hbm_gen, state, step)
+        hbm_rates.append(steps * BATCH / dt)
+        print(f'hbm epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
+              f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
+              file=sys.stderr)
+        assert np.isfinite(loss), loss
+
+    # FUSED leg: ONE XLA program per batch (aug + encode + forward +
+    # backward + update via make_fused_train_step) fed by iter_raw over
+    # the already-warm HBM bank — this is the `fused_input_stage` path
+    # the trainer ships; it removes the second per-batch dispatch and
+    # the intermediate f32-image + y_true HBM round-trip
+    host_step, bank_step = make_fused_train_step(
+        model, tx, ANCHORS, NUM_CLASSES, LossConfig(),
+        aug_cfg=AUG, donate=True)
+
+    def run_epoch_fused(gen, state):
+        t0 = time.time()
+        agg = None
+        n = 0
+        for item in gen.iter_raw():
+            if item[0] == 'bank':
+                _, bank, idx, boxes, hw, key = item
+                state, metrics = bank_step(
+                    state, bank, jnp.asarray(idx), jnp.asarray(boxes), key)
+            else:
+                _, images_u8, boxes, hw, key = item
+                state, metrics = host_step(
+                    state, images_u8, jnp.asarray(boxes), key)
+            agg = metrics['loss'] if agg is None else agg + metrics['loss']
+            n += 1
+        loss = float(agg) / max(n, 1)
+        return state, n, time.time() - t0, loss
+
+    state, steps, dt, loss = run_epoch_fused(hbm_gen, state)  # compile
+    print(f'fused warm epoch: {steps} steps in {dt:.1f}s', file=sys.stderr)
+    fused_rates = []
+    for e in range(EPOCHS):
+        state, steps, dt, loss = run_epoch_fused(hbm_gen, state)
+        fused_rates.append(steps * BATCH / dt)
+        print(f'fused epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
+              f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
+              file=sys.stderr)
+        assert np.isfinite(loss), loss
+
     # pure-step leg: identical compiled step on ONE staged batch —
     # isolates what the input pipeline costs on top
-    for images, y_true, _ in gen:
+    for images, y_true, _ in hbm_gen:
         break
     jax.block_until_ready(images)
     for _ in range(2):
@@ -122,16 +188,26 @@ def main():
         state, metrics = step(state, images, y_true)
     jax.block_until_ready(metrics['loss'])
     pure = BATCH * reps / (time.time() - t0)
-    gen.close()
+    hbm_gen.close()
 
     e2e = float(np.median(rates))
+    hbm = float(np.median(hbm_rates))
+    fused = float(np.median(fused_rates))
     print(json.dumps({
         'metric': f'train_e2e_images_per_sec_{SIDE}_b{BATCH}',
         'e2e_img_per_s': round(e2e, 1),
         'e2e_img_per_s_min': round(min(rates), 1),
         'e2e_img_per_s_max': round(max(rates), 1),
+        'hbm_img_per_s': round(hbm, 1),
+        'hbm_img_per_s_min': round(min(hbm_rates), 1),
+        'hbm_img_per_s_max': round(max(hbm_rates), 1),
+        'fused_img_per_s': round(fused, 1),
+        'fused_img_per_s_min': round(min(fused_rates), 1),
+        'fused_img_per_s_max': round(max(fused_rates), 1),
         'pure_step_img_per_s': round(pure, 1),
         'e2e_over_pure': round(e2e / pure, 3),
+        'hbm_over_pure': round(hbm / pure, 3),
+        'fused_over_pure': round(fused / pure, 3),
         'epochs': EPOCHS,
         'steps_per_epoch': steps,
         'loss': round(loss, 4),

@@ -94,6 +94,20 @@ def main():
     stage_ms = timer(stage)
     print(f'stage_ms       {stage_ms:8.1f}')
 
+    # stage decomposition: target encoding alone (the lax.scan over the
+    # expanded 800-row box list) vs the aug chain (stage - encode)
+    from multigriddet_tpu.ops import encode_targets
+    big_boxes = np.tile(boxes, (1, 8, 1)).astype(np.float32)  # x8 capacity
+    bb = jnp.asarray(big_boxes)
+
+    def encode():
+        yt = encode_targets(bb, ANCHORS, NC, HW)
+        jax.block_until_ready(yt)
+
+    encode_ms = timer(encode)
+    print(f'encode_ms      {encode_ms:8.1f}  (of stage; aug ~ '
+          f'{stage_ms - encode_ms:.1f})')
+
     im, yt, _ = gen.process_batch(u8, boxes, HW)
     jax.block_until_ready(yt)
 
@@ -116,6 +130,22 @@ def main():
 
     chain(2)
     print(f'chain_ms       {chain():8.1f}  (stage+step, dispatch-pipelined)')
+
+    # fused single-program step (aug+encode+fwd+bwd+update, ONE dispatch)
+    from multigriddet_tpu.training.steps import make_fused_train_step
+    host_step, _ = make_fused_train_step(
+        model, tx, ANCHORS, NC, LossConfig(),
+        aug_cfg=gen.augment_cfg, donate=False)
+    u8d, bxd = jnp.asarray(u8), jnp.asarray(boxes)
+    key = jax.random.PRNGKey(0)
+
+    def fused():
+        _, m = host_step(state, u8d, bxd, key)
+        jax.block_until_ready(m['loss'])
+
+    fused_ms = timer(fused)
+    print(f'fused_step_ms  {fused_ms:8.1f}  (vs stage+step '
+          f'{stage_ms + step_ms:.1f} synced, chain dispatched)')
 
     for rep in range(3):
         t0 = time.time()

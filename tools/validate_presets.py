@@ -161,7 +161,10 @@ def run_preset(preset_name, ann, multi_anchor=False):
 
 
 def main():
-    keys = sys.argv[1:] or list(PRESETS)
+    # multi_anchor is an explicit opt-in (it re-trains csp with a
+    # different encoder, doubling the csp budget in a default run)
+    default = [k for k in PRESETS if k != 'multi_anchor']
+    keys = sys.argv[1:] or default
     ann = make_dataset('/tmp/mgd_preset_validation')
     results = {}
     for key in keys:
@@ -169,7 +172,7 @@ def main():
                                   multi_anchor=(key == 'multi_anchor'))
     print('\nSummary:')
     for key, m in results.items():
-        print(f'  {PRESETS[key]}: mAP50={m:.3f}')
+        print(f'  {key} ({PRESETS[key]}): mAP50={m:.3f}')
     assert all(m > 0.7 for m in results.values()), results
 
 
