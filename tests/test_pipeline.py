@@ -327,6 +327,57 @@ def test_device_cache_shared_ledger_bounds_total(files):
         g.close()
 
 
+def test_device_cache_multiscale_budget_fragmentation(files):
+    """Multi-scale buckets fragment the byte budget: with room for only
+    the SMALL bucket's bank, that bucket caches (epoch >= 2 gathers on
+    device) while the large bucket warns once and streams from host —
+    and the mixed bank/host stream stays numerically identical to the
+    plain host-path generator (VERDICT r4 #8).
+
+    At real scale the same arithmetic applies: with 320-672/32 buckets a
+    4 GB budget holds len(dataset) * sum(h*w*3) only for the buckets it
+    reaches first — docs/STATUS.md round 5 records the measured sizes."""
+    small_bank = len(files) * 32 * 32 * 3
+    kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
+              batch_size=2, max_boxes=4, augment={'enabled': True},
+              train=True, rescale_interval=1, seed=9)
+    plain = MultiGridDataGenerator(files, **kw)
+    frag = MultiGridDataGenerator(files, cache_images_device=True,
+                                  device_cache_budget=small_bank, **kw)
+    import warnings as _warnings
+    saw_warning = False
+    for _ in range(3):
+        ep = _epoch_arrays(plain)
+        # record (don't require) the warning: it fires exactly once, on
+        # the first large-bucket batch, and never again once the bucket
+        # is marked uncacheable
+        with _warnings.catch_warnings(record=True) as rec:
+            _warnings.simplefilter('always')
+            ef = _epoch_arrays(frag)
+        saw_warning |= any('streams from host' in str(r.message)
+                           for r in rec)
+        _assert_epochs_equal(ep, ef)
+    dc = frag._dcache
+    assert (32, 32) in dc._banks and (64, 64) not in dc._banks
+    assert (64, 64) in dc._uncacheable
+    assert saw_warning
+    assert dc.bytes == small_bank  # ledger counts only the resident bank
+    # the fused-feed iterator hands bank batches for the cached bucket
+    # and host batches for the streaming one; the uncacheable bucket
+    # must NEVER come from a bank.  (A small-bucket batch still streams
+    # until each of its lines has been seen at that canvas once.)
+    kind_by_hw = {}
+    for _ in range(10):
+        for item in frag.iter_raw():
+            kind, hw = item[0], tuple(item[-2])
+            kind_by_hw.setdefault(hw, set()).add(kind)
+    assert 'bank' in kind_by_hw.get((32, 32), set())
+    assert (64, 64) in kind_by_hw  # 10 epochs of 50/50 draws hit it
+    assert kind_by_hw[(64, 64)] == {'host'}
+    plain.close()
+    frag.close()
+
+
 def _materialize_raw(gen, item):
     """Apply the device stage to one iter_raw item (what a fused train
     step does inside its own program)."""
