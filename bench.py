@@ -76,14 +76,15 @@ def bench_inference():
 
     # two untimed calls: the first executed program in a fresh process
     # absorbs tunnel warm-up beyond compile
+    from multigriddet_tpu.training.steps import fetch_detections
     for i in range(2):
-        np.asarray(infer(variables, inputs[i]))
+        fetch_detections(infer(variables, inputs[i]))
     iters = 12
     t0 = time.time()
     outs = [infer(variables, inputs[i % 2]) for i in range(iters)]
     for o in outs:
-        o.block_until_ready()
-    _ = np.asarray(outs[-1])
+        jax.block_until_ready(o)
+    _ = fetch_detections(outs[-1])
     dt = time.time() - t0
     ips = batch * iters / dt
     return {
@@ -196,6 +197,22 @@ def bench_train_e2e():
     if 'fused_img_per_s' in got:
         out['train_e2e_fused_images_per_sec'] = got['fused_img_per_s']
         out['train_e2e_fused_over_pure_step'] = got['fused_over_pure']
+    # b128 operating point, fused leg only (VERDICT r4 #7): the
+    # recommended config's b128 guidance must rest on an END-TO-END
+    # number, not the step-only 0.50-MFU one
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(repo, 'tools', 'bench_train_e2e.py'),
+             '128', '416', '2', 'fused'],
+            capture_output=True, text=True, timeout=1800, cwd=repo)
+        got128 = json.loads(_last_json_line(proc))
+        out['train_e2e_fused_b128_images_per_sec'] = \
+            got128['fused_img_per_s']
+        out['train_e2e_fused_b128_over_pure_step'] = \
+            got128['fused_over_pure']
+    except Exception as exc:
+        out['train_e2e_b128_error'] = f'{type(exc).__name__}'
     return out
 
 

@@ -395,7 +395,14 @@ class MultiGridDataGenerator:
                         # the host load entirely; the consumer gathers
                         q.put((None, batch_lines, hw))
                     else:
-                        q.put((self.loader.load_batch(batch_lines, hw),
+                        images_u8, boxes = self.loader.load_batch(
+                            batch_lines, hw)
+                        # start the host->device copy HERE, in the
+                        # producer thread: it overlaps the consumer's
+                        # device dispatch instead of serializing with it
+                        # (the tunneled link's per-batch copy is a large
+                        # share of the streaming steady state)
+                        q.put(((jax.device_put(images_u8), boxes),
                                batch_lines, hw))
                 q.put(None)
             except BaseException as exc:  # propagate to the consumer —

@@ -28,7 +28,7 @@ from ..data.annotations import (load_annotation_lines,
                                 parse_annotation_line)
 from ..ops.geometry import canvas_boxes_to_image
 from ..training.checkpoint import load_weights_flexible
-from ..training.steps import make_infer_step, unpack_detections
+from ..training.steps import fetch_detections, make_infer_step
 from ..utils.visualization import draw_boxes, get_colors
 from .metrics import (COCO_IOU_THRESHOLDS, calculate_map,
                       calculate_map_reference, format_results)
@@ -100,7 +100,7 @@ class MultiGridEvaluator:
             nms_backend=ev.get('nms_backend', 'xla'),
             pre_nms_top_k=int(ev.get('pre_nms_top_k', 1024)),
             use_wbf=self.use_wbf,
-            pack_outputs=True)  # one device->host fetch per batch
+            )  # tuple outputs; fetch_detections does one batched get
 
     def _load_annotations(self, path: str):
         lines = load_annotation_lines(path, shuffle=False)
@@ -185,8 +185,8 @@ class MultiGridEvaluator:
             batch_arr, metas = item
 
             t0 = time.time()
-            packed = self._infer(self.variables, jnp.asarray(batch_arr))
-            bxs, cls, scs, valid = unpack_detections(packed)  # one fetch
+            outs = self._infer(self.variables, jnp.asarray(batch_arr))
+            bxs, cls, scs, valid = fetch_detections(outs)  # one batched get
             t_infer += time.time() - t0
             for bi, (img_id, gt_boxes, ih, iw, raw,
                      failed) in enumerate(metas):

@@ -23,7 +23,7 @@ from ..config import build_model_from_config, resolve_compute_dtype
 from ..data.annotations import letterbox_image
 from ..ops.geometry import canvas_boxes_to_image
 from ..training.checkpoint import load_weights_flexible
-from ..training.steps import make_infer_step, unpack_detections
+from ..training.steps import fetch_detections, make_infer_step
 from ..utils.visualization import draw_boxes, get_colors
 
 _IMG_EXTS = ('.jpg', '.jpeg', '.png', '.bmp', '.webp')
@@ -92,8 +92,12 @@ class MultiGridInference:
             nms_method=self.nms_method, use_iol=self.use_iol,
             max_boxes=self.max_boxes, class_aware=self.class_aware,
             nms_backend=self.nms_backend, pre_nms_top_k=self.pre_nms_top_k,
-            use_wbf=self.use_wbf,
-            pack_outputs=True)  # one device->host fetch per batch
+            use_wbf=self.use_wbf)
+        # tuple outputs, fetched with ONE batched device_get: cheaper
+        # than the packed-concat single-fetch design (the concat costs
+        # ~6% of the fused program at b128; four batched transfers
+        # measure FASTER than one packed fetch —
+        # tools/profile_engine_gap.py, docs/STATUS.md round 5)
 
     def _host_fuse(self, boxes, classes, scores):
         """Apply WBF to one image's candidate pool (canvas pixels)."""
@@ -114,8 +118,8 @@ class MultiGridInference:
         """
         arr, _, _, _ = letterbox_image(image.convert('RGB'), self.input_hw)
         batch = jnp.asarray(arr)[None]  # uint8; normalized on device
-        packed = self._infer(self.variables, batch)  # one fetch (one RTT)
-        bxs, cls, scs, valid = unpack_detections(packed[0])
+        outs = self._infer(self.variables, batch)
+        bxs, cls, scs, valid = (a[0] for a in fetch_detections(outs))
         keep = valid
         bxs, cls, scs = bxs[keep], cls[keep], scs[keep]
         bxs, cls, scs = self._host_fuse(bxs, cls, scs)
@@ -167,7 +171,7 @@ class MultiGridInference:
 
         ``sizes`` rows are (orig_h, orig_w), or None for a slot whose
         input failed to load (appends an empty result)."""
-        bxs, cls, scs, valid = unpack_detections(outs)  # forces, one RTT
+        bxs, cls, scs, valid = fetch_detections(outs)  # forces the chunk
         empty = (np.zeros((0, 4), np.float32), np.zeros((0,), np.int32),
                  np.zeros((0,), np.float32))
         for i, size in enumerate(sizes):
@@ -373,8 +377,8 @@ class MultiGridInference:
 
         def flush_one():
             nonlocal stop
-            packed, chunk_rgbs = pending.popleft()
-            bxs, cls, scs, valid = unpack_detections(packed)
+            outs, chunk_rgbs = pending.popleft()
+            bxs, cls, scs, valid = fetch_detections(outs)
             for i, rgb in enumerate(chunk_rgbs):
                 b = bxs[i][valid[i]]
                 c, s = cls[i][valid[i]], scs[i][valid[i]]

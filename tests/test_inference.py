@@ -231,9 +231,9 @@ def test_engine_use_wbf_changes_outputs(config):
     # (84 predictions at 64x64: 2x2 + 4x4 + 8x8 cells x 1 anchor)
     import jax.numpy as jnp
 
-    from multigriddet_tpu.training.steps import unpack_detections
+    from multigriddet_tpu.training.steps import fetch_detections
     dummy = jnp.zeros((1, 64, 64, 3), jnp.uint8)
-    bxs, cls, scs, valid = unpack_detections(
+    bxs, cls, scs, valid = fetch_detections(
         eng._infer(eng.variables, dummy))
     assert bxs.shape[1] == 84  # pool, not max_boxes
     # host fusion: two heavily-overlapping same-class candidates merge

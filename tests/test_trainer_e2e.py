@@ -315,10 +315,10 @@ def test_evaluator_max_detections_and_wbf(dataset, tmp_path):
     # not NMS keeps (actual fusion math is pinned in
     # tests/test_inference.py::test_engine_use_wbf_changes_outputs)
     import jax.numpy as jnp
-    pool = ev_wbf._infer(ev_wbf.variables,
-                         jnp.zeros((4, 64, 64, 3), jnp.uint8))
-    # packed [B, K, 7]: K = full candidate pool, not max_detections
-    assert pool.shape[1] == 84 and pool.shape[2] == 7
+    pool_boxes = ev_wbf._infer(ev_wbf.variables,
+                               jnp.zeros((4, 64, 64, 3), jnp.uint8))[0]
+    # K = full candidate pool, not max_detections
+    assert pool_boxes.shape[1] == 84
 
 
 def test_evaluator_reference_metrics_mode(dataset, tmp_path):

@@ -66,9 +66,9 @@ def main():
                                                engine.input_hw)
                 batch[i] = arr
                 sizes.append((img.size[1], img.size[0]))
-            from multigriddet_tpu.training.steps import unpack_detections
+            from multigriddet_tpu.training.steps import fetch_detections
             outs = engine._infer(engine.variables, jnp.asarray(batch))
-            bxs, cls, scs, valid = unpack_detections(outs)
+            bxs, cls, scs, valid = fetch_detections(outs)
             for i, (ih, iw) in enumerate(sizes):
                 keep = valid[i]
                 b, c, s = bxs[i][keep], cls[i][keep], scs[i][keep]

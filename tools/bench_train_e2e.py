@@ -59,6 +59,12 @@ from multigriddet_tpu.training.steps import (  # noqa: E402
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 SIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 416
 EPOCHS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+# which legs to run (argv[4], comma-set): 'stream' = host-streaming
+# epochs, 'hbm' = HBM-bank epochs through the two-program path, 'fused'
+# = single-program make_fused_train_step epochs.  The pure-step
+# denominator always runs.  Default: all three.
+LEGS = set(sys.argv[4].split(',')) if len(sys.argv) > 4 else {
+    'stream', 'hbm', 'fused'}
 HW = (SIDE, SIDE)
 NUM_CLASSES = 80
 # >= 16 steps/epoch so per-epoch timing is not quantized by one step
@@ -84,9 +90,6 @@ def run_epoch(gen, state, step):
 
 def main():
     lines = make_dataset('/tmp/bench_train_e2e_ds', N_IMAGES)
-    gen = MultiGridDataGenerator(
-        lines, ANCHORS, NUM_CLASSES, HW, BATCH, max_boxes=100,
-        augment=AUG, train=True, num_workers=8, cache_images=True)
 
     model = create_model('multigriddet_darknet', num_classes=NUM_CLASSES,
                          dtype=jnp.bfloat16)
@@ -100,79 +103,90 @@ def main():
     step = make_train_step(model, tx, ANCHORS, NUM_CLASSES, HW,
                            LossConfig(), donate=True)
 
-    # warm epoch: compiles the device-stage + train-step programs and
-    # fills the RAM decoded-image cache (steady state = epoch >= 2)
-    state, steps, dt, loss = run_epoch(gen, state, step)
-    print(f'warm epoch: {steps} steps in {dt:.1f}s '
-          f'(loss {loss:.3f})', file=sys.stderr)
-    assert np.isfinite(loss), loss
-
     rates = []
-    for e in range(EPOCHS):
+    if 'stream' in LEGS:
+        gen = MultiGridDataGenerator(
+            lines, ANCHORS, NUM_CLASSES, HW, BATCH, max_boxes=100,
+            augment=AUG, train=True, num_workers=8, cache_images=True)
+        # warm epoch: compiles the device-stage + train-step programs
+        # and fills the RAM decoded-image cache (steady state = ep >= 2)
         state, steps, dt, loss = run_epoch(gen, state, step)
-        rates.append(steps * BATCH / dt)
-        print(f'epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
-              f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
-              file=sys.stderr)
+        print(f'warm epoch: {steps} steps in {dt:.1f}s '
+              f'(loss {loss:.3f})', file=sys.stderr)
         assert np.isfinite(loss), loss
+        for e in range(EPOCHS):
+            state, steps, dt, loss = run_epoch(gen, state, step)
+            rates.append(steps * BATCH / dt)
+            print(f'epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
+                  f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
+                  file=sys.stderr)
+            assert np.isfinite(loss), loss
+        gen.close()
 
-    # HBM-bank leg: fresh generator with the device image cache; its
-    # warm epoch fills the bank (host path), the timed epochs gather
-    # pixels on device — host link traffic drops to boxes + indices
-    gen.close()
+    # HBM-bank generator: shared by the 'hbm' and 'fused' legs; the
+    # first pass over it fills the bank (host path), later epochs
+    # gather pixels on device — host link carries boxes + indices only
     hbm_gen = MultiGridDataGenerator(
         lines, ANCHORS, NUM_CLASSES, HW, BATCH, max_boxes=100,
         augment=AUG, train=True, num_workers=8, cache_images=True,
         cache_images_device=True)
-    state, steps, dt, loss = run_epoch(hbm_gen, state, step)
-    print(f'hbm warm epoch: {steps} steps in {dt:.1f}s '
-          f'(bank {hbm_gen._dcache.bytes / 1e6:.0f} MB)', file=sys.stderr)
     hbm_rates = []
-    for e in range(EPOCHS):
+    if 'hbm' in LEGS:
         state, steps, dt, loss = run_epoch(hbm_gen, state, step)
-        hbm_rates.append(steps * BATCH / dt)
-        print(f'hbm epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
-              f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
+        print(f'hbm warm epoch: {steps} steps in {dt:.1f}s '
+              f'(bank {hbm_gen._dcache.bytes / 1e6:.0f} MB)',
               file=sys.stderr)
-        assert np.isfinite(loss), loss
+        for e in range(EPOCHS):
+            state, steps, dt, loss = run_epoch(hbm_gen, state, step)
+            hbm_rates.append(steps * BATCH / dt)
+            print(f'hbm epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
+                  f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
+                  file=sys.stderr)
+            assert np.isfinite(loss), loss
 
-    # FUSED leg: ONE XLA program per batch (aug + encode + forward +
-    # backward + update via make_fused_train_step) fed by iter_raw over
-    # the already-warm HBM bank — this is the `fused_input_stage` path
-    # the trainer ships; it removes the second per-batch dispatch and
-    # the intermediate f32-image + y_true HBM round-trip
-    host_step, bank_step = make_fused_train_step(
-        model, tx, ANCHORS, NUM_CLASSES, LossConfig(),
-        aug_cfg=AUG, donate=True)
-
-    def run_epoch_fused(gen, state):
-        t0 = time.time()
-        agg = None
-        n = 0
-        for item in gen.iter_raw():
-            if item[0] == 'bank':
-                _, bank, idx, boxes, hw, key = item
-                state, metrics = bank_step(
-                    state, bank, jnp.asarray(idx), jnp.asarray(boxes), key)
-            else:
-                _, images_u8, boxes, hw, key = item
-                state, metrics = host_step(
-                    state, images_u8, jnp.asarray(boxes), key)
-            agg = metrics['loss'] if agg is None else agg + metrics['loss']
-            n += 1
-        loss = float(agg) / max(n, 1)
-        return state, n, time.time() - t0, loss
-
-    state, steps, dt, loss = run_epoch_fused(hbm_gen, state)  # compile
-    print(f'fused warm epoch: {steps} steps in {dt:.1f}s', file=sys.stderr)
     fused_rates = []
-    for e in range(EPOCHS):
+    if 'fused' in LEGS:
+        # FUSED leg: ONE XLA program per batch (aug + encode + forward
+        # + backward + update via make_fused_train_step) fed by
+        # iter_raw over the HBM bank — this is the `fused_input_stage`
+        # path the trainer ships; it removes the second per-batch
+        # dispatch and the intermediate f32-image + y_true round-trip
+        host_step, bank_step = make_fused_train_step(
+            model, tx, ANCHORS, NUM_CLASSES, LossConfig(),
+            aug_cfg=AUG, donate=True)
+
+        def run_epoch_fused(gen, state):
+            t0 = time.time()
+            agg = None
+            n = 0
+            for item in gen.iter_raw():
+                if item[0] == 'bank':
+                    _, bank, idx, boxes, hw, key = item
+                    state, metrics = bank_step(
+                        state, bank, jnp.asarray(idx), jnp.asarray(boxes),
+                        key)
+                else:
+                    _, images_u8, boxes, hw, key = item
+                    state, metrics = host_step(
+                        state, images_u8, jnp.asarray(boxes), key)
+                agg = (metrics['loss'] if agg is None
+                       else agg + metrics['loss'])
+                n += 1
+            loss = float(agg) / max(n, 1)
+            return state, n, time.time() - t0, loss
+
+        # warm pass compiles AND fills the bank (iter_raw's host path
+        # feeds add_batch), so a fused-only run needs no hbm leg first
         state, steps, dt, loss = run_epoch_fused(hbm_gen, state)
-        fused_rates.append(steps * BATCH / dt)
-        print(f'fused epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
-              f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
+        print(f'fused warm epoch: {steps} steps in {dt:.1f}s',
               file=sys.stderr)
-        assert np.isfinite(loss), loss
+        for e in range(EPOCHS):
+            state, steps, dt, loss = run_epoch_fused(hbm_gen, state)
+            fused_rates.append(steps * BATCH / dt)
+            print(f'fused epoch {e + 1}: {steps * BATCH / dt:.1f} img/s '
+                  f'({steps} steps, {dt:.1f}s, loss {loss:.3f})',
+                  file=sys.stderr)
+            assert np.isfinite(loss), loss
 
     # pure-step leg: identical compiled step on ONE staged batch —
     # isolates what the input pipeline costs on top
@@ -190,28 +204,23 @@ def main():
     pure = BATCH * reps / (time.time() - t0)
     hbm_gen.close()
 
-    e2e = float(np.median(rates))
-    hbm = float(np.median(hbm_rates))
-    fused = float(np.median(fused_rates))
-    print(json.dumps({
+    out = {
         'metric': f'train_e2e_images_per_sec_{SIDE}_b{BATCH}',
-        'e2e_img_per_s': round(e2e, 1),
-        'e2e_img_per_s_min': round(min(rates), 1),
-        'e2e_img_per_s_max': round(max(rates), 1),
-        'hbm_img_per_s': round(hbm, 1),
-        'hbm_img_per_s_min': round(min(hbm_rates), 1),
-        'hbm_img_per_s_max': round(max(hbm_rates), 1),
-        'fused_img_per_s': round(fused, 1),
-        'fused_img_per_s_min': round(min(fused_rates), 1),
-        'fused_img_per_s_max': round(max(fused_rates), 1),
         'pure_step_img_per_s': round(pure, 1),
-        'e2e_over_pure': round(e2e / pure, 3),
-        'hbm_over_pure': round(hbm / pure, 3),
-        'fused_over_pure': round(fused / pure, 3),
         'epochs': EPOCHS,
         'steps_per_epoch': steps,
         'loss': round(loss, 4),
-    }))
+    }
+    for name, runs in (('e2e', rates), ('hbm', hbm_rates),
+                       ('fused', fused_rates)):
+        if not runs:
+            continue
+        med = float(np.median(runs))
+        out[f'{name}_img_per_s'] = round(med, 1)
+        out[f'{name}_img_per_s_min'] = round(min(runs), 1)
+        out[f'{name}_img_per_s_max'] = round(max(runs), 1)
+        out[f'{name}_over_pure'] = round(med / pure, 3)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

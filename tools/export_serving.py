@@ -61,14 +61,13 @@ def main():
           ', '.join(f'{n} ({s} MB)' for n, s in sizes.items()))
 
     if args.check:
-        from multigriddet_tpu.training.steps import unpack_detections
+        from multigriddet_tpu.training.steps import fetch_detections
         serving = ServingModel(args.output)
         rng = np.random.RandomState(0)
         imgs = rng.randint(0, 255, (batch_sizes[0], *engine.input_hw, 3),
                            np.uint8)
         got = serving(imgs)
-        # engine._infer packs its outputs; the artifact serves unpacked
-        want = unpack_detections(engine._infer(engine.variables, imgs))
+        want = fetch_detections(engine._infer(engine.variables, imgs))
         for g, w, name in zip(got, want, meta['outputs']):
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-5,
