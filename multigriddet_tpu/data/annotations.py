@@ -96,11 +96,21 @@ class HostImageLoader:
     def __init__(self, lines: Sequence[str], target_hw: Tuple[int, int],
                  max_boxes: int = 100, num_workers: int = 8,
                  use_native: bool = True, cache_images: bool = False,
-                 disk_cache_dir: Optional[str] = None):
+                 disk_cache_dir: Optional[str] = None,
+                 link_format: str = 'rgb'):
         self.lines = list(lines)
         self.target_hw = tuple(target_hw)
         self.max_boxes = max_boxes
         self.num_workers = num_workers
+        # 'rgb': one [H,W,3] u8 canvas per image (exact letterbox
+        # contract — serving/eval paths).  'yuv420': planar YCbCr
+        # (y [H,W], cb/cr [H/2,W/2] u8) — HALF the bytes per image over
+        # the host->device link; the device stage inverts it
+        # (ops/yuv.py).  Internally both are a tuple of per-image
+        # "parts"; load_batch unwraps the single-part rgb case.
+        if link_format not in ('rgb', 'yuv420'):
+            raise ValueError(f'unknown link_format {link_format!r}')
+        self.link_format = link_format
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         if use_native:
             from .native import native_available
@@ -129,21 +139,32 @@ class HostImageLoader:
         except OSError:
             mtime = -1
         raw = f'{line}|{mtime}|{hw[0]}x{hw[1]}|{self.max_boxes}'
+        if self.link_format != 'rgb':
+            raw += f'|{self.link_format}'
         return hashlib.sha1(raw.encode()).hexdigest()
+
+    @property
+    def _part_suffixes(self) -> Tuple[str, ...]:
+        if self.link_format == 'yuv420':
+            return ('.y.npy', '.cb.npy', '.cr.npy')
+        return ('.img.npy',)
 
     def _disk_read(self, key: str):
         base = os.path.join(self.disk_cache_dir, key)
         try:
-            img = np.load(base + '.img.npy', mmap_mode='r')
+            parts = tuple(np.asarray(np.load(base + sfx, mmap_mode='r'))
+                          for sfx in self._part_suffixes)
             boxes = np.load(base + '.box.npy')
-            return np.asarray(img), boxes
+            return parts, boxes
         except (OSError, ValueError):
             return None
 
-    def _disk_write(self, key: str, img: np.ndarray, boxes: np.ndarray):
+    def _disk_write(self, key: str, parts: Tuple[np.ndarray, ...],
+                    boxes: np.ndarray):
         base = os.path.join(self.disk_cache_dir, key)
         try:
-            for suffix, arr in (('.img.npy', img), ('.box.npy', boxes)):
+            pairs = list(zip(self._part_suffixes, parts))
+            for suffix, arr in pairs + [('.box.npy', boxes)]:
                 # np.save appends '.npy' unless the name already ends
                 # with it — keep the tmp name .npy-suffixed
                 tmp = base + f'.tmp{os.getpid()}{suffix}'
@@ -152,71 +173,110 @@ class HostImageLoader:
         except OSError:
             pass  # cache is best-effort; decode already succeeded
 
+    def _to_parts(self, canvas: np.ndarray) -> Tuple[np.ndarray, ...]:
+        if self.link_format == 'yuv420':
+            from ..ops.yuv import rgb_to_yuv420_np
+            return rgb_to_yuv420_np(canvas)
+        return (canvas,)
+
     def _load_batch_pil(self, batch_lines, hw, indices=None):
         def safe(line):
             try:
-                return load_and_letterbox(line, hw, self.max_boxes)
+                img, bx = load_and_letterbox(line, hw, self.max_boxes)
             except (OSError, ValueError):
-                return (np.full((*hw, 3), 128, np.uint8),
-                        np.zeros((self.max_boxes, 5), np.float32))
+                img = np.full((*hw, 3), 128, np.uint8)
+                bx = np.zeros((self.max_boxes, 5), np.float32)
+            return self._to_parts(img), bx
         return list(self.pool.map(safe, batch_lines))
+
+    def _alloc_parts(self, n: int, hw: Tuple[int, int]):
+        # zeros (calloc), NOT np.stack/np.empty: faulting fresh
+        # malloc'd pages while an async device transfer is in flight
+        # is pathologically slow on this class of VM (measured 8 vs
+        # 300+ samples/s on the warm-cache epoch; same effect
+        # documented in native/fastloader.cpp)
+        if self.link_format == 'yuv420':
+            return (np.zeros((n, *hw), np.uint8),
+                    np.zeros((n, hw[0] // 2, hw[1] // 2), np.uint8),
+                    np.zeros((n, hw[0] // 2, hw[1] // 2), np.uint8))
+        return (np.zeros((n, *hw, 3), np.uint8),)
+
+    def _unwrap(self, parts):
+        """Single-part rgb batches stay a bare array (the public
+        contract every rgb consumer was built on); yuv stays a tuple."""
+        return parts if self.link_format == 'yuv420' else parts[0]
 
     def load_batch(self, batch_lines: Sequence[str],
                    target_hw: Optional[Tuple[int, int]] = None):
         hw = target_hw or self.target_hw
-        if self._cache is not None:
-            missing = [l for l in batch_lines if (l, hw) not in self._cache]
-            if missing:
-                imgs, boxes = self._load_batch_disk_or_decode(missing, hw)
-                for i, line in enumerate(missing):
-                    self._cache[(line, hw)] = (imgs[i], boxes[i])
-            # zeros (calloc), NOT np.stack (np.empty): faulting fresh
-            # malloc'd pages while an async device transfer is in flight
-            # is pathologically slow on this class of VM (measured 8 vs
-            # 300+ samples/s on the warm-cache epoch; same effect
-            # documented in native/fastloader.cpp)
-            images = np.zeros((len(batch_lines), *hw, 3), np.uint8)
-            boxes = np.zeros((len(batch_lines), self.max_boxes, 5),
-                             np.float32)
-            for i, l in enumerate(batch_lines):
-                img, bx = self._cache[(l, hw)]
-                images[i] = img
-                boxes[i] = bx
-            return images, boxes
-        return self._load_batch_disk_or_decode(batch_lines, hw)
+        if self._cache is None:
+            parts, boxes = self._load_batch_disk_or_decode(batch_lines, hw)
+            return self._unwrap(parts), boxes
+        missing = [l for l in batch_lines if (l, hw) not in self._cache]
+        if missing:
+            parts, boxes = self._load_batch_disk_or_decode(missing, hw)
+            for i, line in enumerate(missing):
+                self._cache[(line, hw)] = (
+                    tuple(pt[i] for pt in parts), boxes[i])
+        out = self._alloc_parts(len(batch_lines), hw)
+        boxes = np.zeros((len(batch_lines), self.max_boxes, 5),
+                         np.float32)
+        for i, l in enumerate(batch_lines):
+            img_parts, bx = self._cache[(l, hw)]
+            for buf, pt in zip(out, img_parts):
+                buf[i] = pt
+            boxes[i] = bx
+        return self._unwrap(out), boxes
 
     def _load_batch_disk_or_decode(self, batch_lines: Sequence[str],
                                    hw: Tuple[int, int]):
+        """Returns (parts tuple of batch arrays, boxes)."""
         if not self.disk_cache_dir:
             return self._load_batch_uncached(batch_lines, hw)
         keys = [self._disk_key(l, hw) for l in batch_lines]
         hits = list(self.pool.map(self._disk_read, keys))
-        images = np.zeros((len(batch_lines), *hw, 3), np.uint8)
+        out = self._alloc_parts(len(batch_lines), hw)
         boxes = np.zeros((len(batch_lines), self.max_boxes, 5), np.float32)
         miss_idx = [i for i, h in enumerate(hits) if h is None]
         for i, h in enumerate(hits):
             if h is not None:
-                images[i], boxes[i] = h
+                for buf, pt in zip(out, h[0]):
+                    buf[i] = pt
+                boxes[i] = h[1]
         if miss_idx:
-            m_imgs, m_boxes = self._load_batch_uncached(
+            m_parts, m_boxes = self._load_batch_uncached(
                 [batch_lines[i] for i in miss_idx], hw)
             for j, i in enumerate(miss_idx):
-                images[i], boxes[i] = m_imgs[j], m_boxes[j]
+                for buf, pt in zip(out, m_parts):
+                    buf[i] = pt[j]
+                boxes[i] = m_boxes[j]
             list(self.pool.map(
                 lambda args: self._disk_write(*args),
-                [(keys[i], m_imgs[j], m_boxes[j])
+                [(keys[i], tuple(pt[j] for pt in m_parts), m_boxes[j])
                  for j, i in enumerate(miss_idx)]))
-        return images, boxes
+        return out, boxes
 
     def _load_batch_uncached(self, batch_lines: Sequence[str],
                              hw: Tuple[int, int]):
+        """Returns (parts tuple of batch arrays, boxes)."""
         parsed = [parse_annotation_line(l) for l in batch_lines]
         paths = [p for p, _ in parsed]
         jpeg = all(p.lower().endswith(('.jpg', '.jpeg')) for p in paths)
-        if self.use_native and jpeg and paths:
-            from .native import load_letterbox_batch
-            images, metas, ok = load_letterbox_batch(
-                paths, hw, nthreads=self.num_workers)
+        native_ok = self.use_native and jpeg and paths
+        if native_ok and self.link_format == 'yuv420':
+            from .native import yuv_available
+            native_ok = yuv_available()
+        if native_ok:
+            if self.link_format == 'yuv420':
+                from .native import load_letterbox_yuv_batch
+                ys, cbs, crs, metas, ok = load_letterbox_yuv_batch(
+                    paths, hw, nthreads=self.num_workers)
+                parts = (ys, cbs, crs)
+            else:
+                from .native import load_letterbox_batch
+                images, metas, ok = load_letterbox_batch(
+                    paths, hw, nthreads=self.num_workers)
+                parts = (images,)
             boxes = np.zeros((len(paths), self.max_boxes, 5), np.float32)
             for i, (_, b) in enumerate(parsed):
                 if not ok[i]:
@@ -234,16 +294,18 @@ class HostImageLoader:
                 results = self._load_batch_pil(
                     [batch_lines[i] for i in bad], hw)
                 for j, i in enumerate(bad):
-                    images[i], boxes[i] = results[j]
-            return images, boxes
+                    for buf, pt in zip(parts, results[j][0]):
+                        buf[i] = pt
+                    boxes[i] = results[j][1]
+            return parts, boxes
         results = self._load_batch_pil(batch_lines, hw)
-        # zeros, not np.stack: see the cache-path comment above
-        images = np.zeros((len(results), *hw, 3), np.uint8)
+        parts = self._alloc_parts(len(results), hw)
         boxes = np.zeros((len(results), self.max_boxes, 5), np.float32)
-        for i, (img, bx) in enumerate(results):
-            images[i] = img
+        for i, (img_parts, bx) in enumerate(results):
+            for buf, pt in zip(parts, img_parts):
+                buf[i] = pt
             boxes[i] = bx
-        return images, boxes
+        return parts, boxes
 
     def close(self):
         self.pool.shutdown(wait=False)

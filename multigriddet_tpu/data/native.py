@@ -51,6 +51,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int]
     lib.mgd_load_letterbox_batch.restype = None
+    try:
+        lib.mgd_load_letterbox_yuv_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.mgd_load_letterbox_yuv_batch.restype = None
+    except AttributeError:  # stale .so without the YUV entry point
+        pass
     _lib = lib
     return _lib
 
@@ -89,3 +99,43 @@ def load_letterbox_batch(paths: Sequence[str], target_hw: Tuple[int, int],
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         nthreads)
     return images, metas, status == 0
+
+
+def yuv_available() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, 'mgd_load_letterbox_yuv_batch')
+
+
+def load_letterbox_yuv_batch(paths: Sequence[str],
+                             target_hw: Tuple[int, int],
+                             nthreads: int = 8):
+    """Decode + letterbox + convert to planar YCbCr 4:2:0 natively.
+
+    Returns (y [N, th, tw] u8, cb [N, th/2, tw/2] u8, cr u8,
+    metas [N, 5] f32, ok [N] bool).  Halves the bytes the device link
+    carries per image; the device inverts it (ops/yuv.py).  th and tw
+    must be even.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, 'mgd_load_letterbox_yuv_batch'):
+        raise RuntimeError('native YUV fastloader unavailable')
+    th, tw = target_hw
+    if th % 2 or tw % 2:
+        raise ValueError(f'canvas must be even for 4:2:0, got {th}x{tw}')
+    n = len(paths)
+    # zeros (calloc), not empty: see load_letterbox_batch
+    ys = np.zeros((n, th, tw), np.uint8)
+    cbs = np.zeros((n, th // 2, tw // 2), np.uint8)
+    crs = np.zeros((n, th // 2, tw // 2), np.uint8)
+    metas = np.zeros((n, 5), np.float32)
+    status = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode('utf-8') for p in paths])
+    lib.mgd_load_letterbox_yuv_batch(
+        c_paths, n, th, tw,
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cbs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        crs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        metas.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        nthreads)
+    return ys, cbs, crs, metas, status == 0

@@ -52,14 +52,31 @@ def calculate_expansion_factor(mosaic_prob: float, mixup_prob: float) -> int:
     return factor
 
 
+def _pixels_to_f32(pixels):
+    """Link-transport pixels -> f32 RGB [0,255] images.
+
+    ``pixels`` is either a bare u8 RGB batch [B,H,W,3], a 1-tuple of
+    one, or a 3-tuple of planar YCbCr 4:2:0 (y [B,H,W], cb/cr
+    [B,H/2,W/2]) — the half-bandwidth link format (ops/yuv.py); the
+    inverse conversion fuses into this program.
+    """
+    if isinstance(pixels, (tuple, list)):
+        if len(pixels) == 3:
+            from ..ops.yuv import yuv420_to_rgb
+            return yuv420_to_rgb(*pixels)
+        pixels = pixels[0]
+    return pixels.astype(jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('aug_cfg', 'anchors_tuple', 'num_classes', 'input_hw',
                      'train', 'multi_anchor_assign'))
 def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
                   input_hw, train, multi_anchor_assign=False):
-    """images u8 [B,H,W,3] + boxes [B,N,5] -> (images f32 [0,1], y_true)."""
-    images = images_u8.astype(jnp.float32)
+    """pixels (see _pixels_to_f32) + boxes [B,N,5] -> (images f32 [0,1],
+    y_true)."""
+    images = _pixels_to_f32(images_u8)
     cfg = dict(aug_cfg)
     if train and cfg.get('enabled', True):
         keys = jax.random.split(key, 12)
@@ -126,15 +143,19 @@ def _device_stage(images_u8, boxes, key, aug_cfg, anchors_tuple, num_classes,
     jax.jit,
     static_argnames=('aug_cfg', 'anchors_tuple', 'num_classes', 'input_hw',
                      'train', 'multi_anchor_assign'))
-def _device_stage_bank(bank, idx, boxes, key, aug_cfg, anchors_tuple,
+def _device_stage_bank(banks, idx, boxes, key, aug_cfg, anchors_tuple,
                        num_classes, input_hw, train,
                        multi_anchor_assign=False):
     """Device-cache variant of :func:`_device_stage`: the batch's pixels
     are GATHERED from the HBM-resident image bank (one fused program —
     the gathered u8 rows never round-trip to host), so a steady-state
     epoch moves only the tiny per-batch boxes/indices over the host
-    link."""
-    return _device_stage(bank[idx], boxes, key, aug_cfg, anchors_tuple,
+    link.  ``banks`` is a tuple of per-part banks (1 for rgb, 3 for the
+    yuv420 link format)."""
+    if not isinstance(banks, (tuple, list)):
+        banks = (banks,)
+    parts = tuple(b[idx] for b in banks)
+    return _device_stage(parts, boxes, key, aug_cfg, anchors_tuple,
                          num_classes, input_hw, train, multi_anchor_assign)
 
 
@@ -176,7 +197,10 @@ class _DeviceImageCache:
         self._ledger = ledger if ledger is not None else {'bytes': 0}
         self._row: Dict[Tuple[str, Tuple[int, int]], int] = {}
         self._next: Dict[Tuple[int, int], int] = {}
-        self._banks: Dict[Tuple[int, int], jax.Array] = {}
+        # per canvas: a tuple of per-part banks — 1 part for rgb
+        # ([R,H,W,3] u8), 3 for the yuv420 link format (y [R,H,W] +
+        # cb/cr [R,H/2,W/2] u8, which also HALVES the HBM a bank costs)
+        self._banks: Dict[Tuple[int, int], Tuple[jax.Array, ...]] = {}
         self._boxes: Dict[Tuple[str, Tuple[int, int]], np.ndarray] = {}
         self._uncacheable: set = set()
 
@@ -184,12 +208,13 @@ class _DeviceImageCache:
     def bytes(self) -> int:
         return self._ledger['bytes']
 
-    def _ensure_bank(self, hw: Tuple[int, int]) -> bool:
+    def _ensure_bank(self, hw: Tuple[int, int], parts) -> bool:
         if hw in self._banks:
             return True
         if hw in self._uncacheable:
             return False
-        need = self.n_rows * hw[0] * hw[1] * 3
+        shapes = [(self.n_rows, *p.shape[1:]) for p in parts]
+        need = sum(int(np.prod(shp)) for shp in shapes)  # u8
         if self.bytes + need > self.budget:
             import warnings
             warnings.warn(
@@ -199,20 +224,25 @@ class _DeviceImageCache:
                 f'budget remains — this canvas streams from host instead')
             self._uncacheable.add(hw)
             return False
-        self._banks[hw] = jnp.zeros((self.n_rows, *hw, 3), jnp.uint8)
+        self._banks[hw] = tuple(jnp.zeros(shp, jnp.uint8)
+                                for shp in shapes)
         self._next[hw] = 0
         self._ledger['bytes'] += need
         return True
 
     def add_batch(self, hw: Tuple[int, int], lines: Sequence[str],
-                  images_dev, boxes_np: np.ndarray) -> None:
+                  parts_dev, boxes_np: np.ndarray) -> None:
         """Write an already-transferred decoded batch into the bank.
 
-        Called from the consumer right after the epoch-1 host path has
-        the batch on device anyway, so caching costs no extra transfer.
-        Re-seen lines rewrite their existing row (same content)."""
+        ``parts_dev`` is the tuple of on-device pixel parts (1 for rgb,
+        3 for yuv420).  Called from the consumer right after the
+        epoch-1 host path has the batch on device anyway, so caching
+        costs no extra transfer.  Re-seen lines rewrite their existing
+        row (same content)."""
         hw = tuple(hw)
-        if not self._ensure_bank(hw):
+        if not isinstance(parts_dev, (tuple, list)):
+            parts_dev = (parts_dev,)
+        if not self._ensure_bank(hw, parts_dev):
             return
         rows = np.empty(len(lines), np.int32)
         inserted = []
@@ -235,8 +265,10 @@ class _DeviceImageCache:
                 self._boxes[key] = np.array(boxes_np[i])
                 inserted.append(key)
             rows[i] = row
-        self._banks[hw] = _bank_scatter(self._banks[hw],
-                                        jnp.asarray(rows), images_dev)
+        rows_dev = jnp.asarray(rows)
+        self._banks[hw] = tuple(
+            _bank_scatter(bank, rows_dev, part)
+            for bank, part in zip(self._banks[hw], parts_dev))
 
     def has(self, hw: Tuple[int, int], lines: Sequence[str]) -> bool:
         hw = tuple(hw)
@@ -246,7 +278,7 @@ class _DeviceImageCache:
 
     def gather_args(self, hw: Tuple[int, int], lines: Sequence[str],
                     max_boxes: int):
-        """(bank, row idx [B] i32, boxes [B, max_boxes, 5] f32)."""
+        """(banks tuple, row idx [B] i32, boxes [B, max_boxes, 5] f32)."""
         hw = tuple(hw)
         idx = np.asarray([self._row[(line, hw)] for line in lines],
                          np.int32)
@@ -294,7 +326,8 @@ class MultiGridDataGenerator:
                  disk_cache_dir: Optional[str] = None,
                  cache_images_device: bool = False,
                  device_cache_budget: int = 4 << 30,
-                 device_cache_ledger: Optional[Dict[str, int]] = None):
+                 device_cache_ledger: Optional[Dict[str, int]] = None,
+                 link_format: str = 'auto'):
         self.lines = list(annotation_lines)
         self.anchors = [np.asarray(a, np.float32) for a in anchors]
         self.num_classes = num_classes
@@ -306,9 +339,22 @@ class MultiGridDataGenerator:
         self.rescale_interval = rescale_interval
         self.rng = np.random.RandomState(seed)
         self.key = jax.random.PRNGKey(seed)
+        # link transport: 'yuv420' ships planar YCbCr 4:2:0 over the
+        # host->device link — HALF the bytes of 'rgb', inverted on
+        # device as the first fusable op of the stage program
+        # (ops/yuv.py; round trip errs less than one JPEG re-save).
+        # 'auto' = yuv420 for training generators with an even canvas
+        # (the streaming steady state is link-bound — docs/STATUS.md
+        # round 5); eval/serving generators keep the exact rgb canvas.
+        if link_format == 'auto':
+            even = (self.input_shape[0] % 2 == 0
+                    and self.input_shape[1] % 2 == 0)
+            link_format = 'yuv420' if (train and even) else 'rgb'
+        self.link_format = link_format
         self.loader = HostImageLoader(
             self.lines, self.input_shape, max_boxes, num_workers,
-            cache_images=cache_images, disk_cache_dir=disk_cache_dir)
+            cache_images=cache_images, disk_cache_dir=disk_cache_dir,
+            link_format=link_format)
         self.drop_remainder = drop_remainder
         self.multi_anchor_assign = multi_anchor_assign
         self._anchors_tuple = tuple(
@@ -345,13 +391,20 @@ class MultiGridDataGenerator:
             self._cur_hw = options[self.rng.randint(len(options))]
         return self._cur_hw
 
-    def process_batch(self, images_u8: np.ndarray, boxes: np.ndarray,
+    def process_batch(self, pixels, boxes: np.ndarray,
                       input_hw: Optional[Tuple[int, int]] = None):
-        """Run the jitted device stage on one host batch."""
+        """Run the jitted device stage on one host batch.
+
+        ``pixels``: a u8 RGB batch [B,H,W,3] or the loader's link-format
+        parts tuple (1-tuple rgb / 3-tuple yuv420)."""
         hw = tuple(input_hw or self.input_shape)
+        if not isinstance(pixels, tuple):
+            pixels = (jnp.asarray(pixels),)
+        else:
+            pixels = tuple(jnp.asarray(p) for p in pixels)
         self.key, sub = jax.random.split(self.key)
         images, y_true, aug_boxes = _device_stage(
-            jnp.asarray(images_u8), jnp.asarray(boxes), sub,
+            pixels, jnp.asarray(boxes), sub,
             _freeze(self.augment_cfg), self._anchors_tuple,
             self.num_classes, hw, self.train, self.multi_anchor_assign)
         return images, y_true, aug_boxes
@@ -395,15 +448,17 @@ class MultiGridDataGenerator:
                         # the host load entirely; the consumer gathers
                         q.put((None, batch_lines, hw))
                     else:
-                        images_u8, boxes = self.loader.load_batch(
+                        pixels, boxes = self.loader.load_batch(
                             batch_lines, hw)
+                        if not isinstance(pixels, tuple):
+                            pixels = (pixels,)
                         # start the host->device copy HERE, in the
                         # producer thread: it overlaps the consumer's
                         # device dispatch instead of serializing with it
                         # (the tunneled link's per-batch copy is a large
                         # share of the streaming steady state)
-                        q.put(((jax.device_put(images_u8), boxes),
-                               batch_lines, hw))
+                        parts = tuple(jax.device_put(p) for p in pixels)
+                        q.put(((parts, boxes), batch_lines, hw))
                 q.put(None)
             except BaseException as exc:  # propagate to the consumer —
                 # a swallowed producer error would silently end the epoch
@@ -427,45 +482,45 @@ class MultiGridDataGenerator:
             if payload is None:
                 yield self._process_batch_from_bank(batch_lines, hw)
                 continue
-            images_u8, boxes = payload
-            images_dev = jnp.asarray(images_u8)
+            parts, boxes = payload
             if self._dcache is not None:
-                self._dcache.add_batch(hw, batch_lines, images_dev, boxes)
-            yield self.process_batch(images_dev, boxes, hw)
+                self._dcache.add_batch(hw, batch_lines, parts, boxes)
+            yield self.process_batch(parts, boxes, hw)
 
     def iter_raw(self):
         """Iterate RAW batches for a fused train step (training/steps.py
         make_fused_train_step): the device stage is NOT run here — the
         consumer folds it into its own single XLA program.
 
-        Yields ``('host', images_u8_dev, boxes_np, hw, key)`` for
-        streamed batches (pixels already transferred, uint8) or
-        ``('bank', bank, idx_np, boxes_np, hw, key)`` when every pixel
-        of the batch is resident in the HBM image bank.  ``key`` is the
-        per-batch PRNG key the fused stage should use.
+        Yields ``('host', parts, boxes_np, hw, key)`` for streamed
+        batches — ``parts`` is the on-device pixel tuple (1-tuple rgb /
+        3-tuple yuv420, already transferred) — or
+        ``('bank', banks, idx_np, boxes_np, hw, key)`` when every pixel
+        of the batch is resident in the HBM image bank (``banks`` is
+        the per-part bank tuple).  ``key`` is the per-batch PRNG key
+        the fused stage should use.
         """
         for payload, batch_lines, hw in self._prefetched():
             self.key, sub = jax.random.split(self.key)
             if payload is None:
-                bank, idx, boxes = self._dcache.gather_args(
+                banks, idx, boxes = self._dcache.gather_args(
                     hw, batch_lines, self.max_boxes)
-                yield ('bank', bank, idx, boxes, hw, sub)
+                yield ('bank', banks, idx, boxes, hw, sub)
                 continue
-            images_u8, boxes = payload
-            images_dev = jnp.asarray(images_u8)
+            parts, boxes = payload
             if self._dcache is not None:
-                self._dcache.add_batch(hw, batch_lines, images_dev, boxes)
-            yield ('host', images_dev, boxes, hw, sub)
+                self._dcache.add_batch(hw, batch_lines, parts, boxes)
+            yield ('host', parts, boxes, hw, sub)
 
     def _process_batch_from_bank(self, batch_lines: Sequence[str],
                                  input_hw: Tuple[int, int]):
         """Device-cached batch: gather bank rows + aug + encode, fused."""
         hw = tuple(input_hw)
-        bank, idx, boxes = self._dcache.gather_args(hw, batch_lines,
-                                                    self.max_boxes)
+        banks, idx, boxes = self._dcache.gather_args(hw, batch_lines,
+                                                     self.max_boxes)
         self.key, sub = jax.random.split(self.key)
         return _device_stage_bank(
-            bank, jnp.asarray(idx), jnp.asarray(boxes), sub,
+            banks, jnp.asarray(idx), jnp.asarray(boxes), sub,
             _freeze(self.augment_cfg), self._anchors_tuple,
             self.num_classes, hw, self.train, self.multi_anchor_assign)
 

@@ -146,10 +146,13 @@ def make_fused_train_step(model, tx: optax.GradientTransformation,
     (generators.py:1766-2133 feeding multigriddet_darknet.py:647-726).
 
     Returns ``(host_step, bank_step)``:
-      host_step(state, images_u8 [B,H,W,3], boxes [B,N,5], key)
-      bank_step(state, bank [R,H,W,3] u8, idx [B] i32, boxes, key)
-    Both return ``(new_state, metrics)``.  The canvas (h, w) is read
-    from the pixel argument's shape, so multi-scale buckets compile one
+      host_step(state, parts, boxes [B,N,5], key)
+      bank_step(state, banks, idx [B] i32, boxes, key)
+    ``parts``/``banks`` are the generator's link-format pixel tuples
+    (1-tuple u8 RGB [B,H,W,3] / [R,H,W,3], or 3-tuple planar YCbCr
+    4:2:0 — data/pipeline.iter_raw); a bare array is accepted for the
+    rgb case.  Both return ``(new_state, metrics)``.  The canvas (h, w)
+    is read from the pixel shapes, so multi-scale buckets compile one
     program each under the same callable.
     """
     from ..data.pipeline import _device_stage, _freeze
@@ -160,31 +163,38 @@ def make_fused_train_step(model, tx: optax.GradientTransformation,
                              class_weights, mesh, strides, freeze_level,
                              ema_decay)
 
-    def _stage_and_step(state, images_u8, boxes, key):
-        hw = tuple(int(s) for s in images_u8.shape[1:3])
+    def _stage_and_step(state, parts, boxes, key):
+        hw = tuple(int(s) for s in parts[0].shape[1:3])
         images, y_true, _ = _device_stage(
-            images_u8, boxes, key, frozen_aug, anchors_tuple, num_classes,
+            parts, boxes, key, frozen_aug, anchors_tuple, num_classes,
             hw, train_aug, multi_anchor_assign)
         return core(state, images, y_true)
 
-    def host_step(state, images_u8, boxes, key):
+    def host_step(state, parts, boxes, key):
+        if not isinstance(parts, (tuple, list)):
+            parts = (parts,)
+        if mesh is not None:
+            # P('batch','space') matches every part: dim 0 batch, dim 1
+            # canvas rows (H for rgb/y, H/2 for the chroma planes)
+            spec = image_partition_spec(mesh)
+            parts = tuple(jax.lax.with_sharding_constraint(
+                p, NamedSharding(mesh, spec)) for p in parts)
+            boxes = jax.lax.with_sharding_constraint(
+                boxes, NamedSharding(mesh, P('batch')))
+        return _stage_and_step(state, parts, boxes, key)
+
+    def bank_step(state, banks, idx, boxes, key):
+        if not isinstance(banks, (tuple, list)):
+            banks = (banks,)
+        if mesh is not None:
+            boxes = jax.lax.with_sharding_constraint(
+                boxes, NamedSharding(mesh, P('batch')))
+        parts = tuple(b[idx] for b in banks)
         if mesh is not None:
             spec = image_partition_spec(mesh)
-            images_u8 = jax.lax.with_sharding_constraint(
-                images_u8, NamedSharding(mesh, spec))
-            boxes = jax.lax.with_sharding_constraint(
-                boxes, NamedSharding(mesh, P('batch')))
-        return _stage_and_step(state, images_u8, boxes, key)
-
-    def bank_step(state, bank, idx, boxes, key):
-        if mesh is not None:
-            boxes = jax.lax.with_sharding_constraint(
-                boxes, NamedSharding(mesh, P('batch')))
-        images_u8 = bank[idx]
-        if mesh is not None:
-            images_u8 = jax.lax.with_sharding_constraint(
-                images_u8, NamedSharding(mesh, image_partition_spec(mesh)))
-        return _stage_and_step(state, images_u8, boxes, key)
+            parts = tuple(jax.lax.with_sharding_constraint(
+                p, NamedSharding(mesh, spec)) for p in parts)
+        return _stage_and_step(state, parts, boxes, key)
 
     donate_argnums = (0,) if donate else ()
     return (jax.jit(host_step, donate_argnums=donate_argnums),

@@ -119,6 +119,9 @@ class MultiGridTrainer:
         device_ledger = {'bytes': 0} if cache_device else None
         multi_anchor = bool(self.training_cfg.get('multi_anchor_assign',
                                                   False))
+        # link transport for the train stream ('auto' = yuv420: half the
+        # host->device bytes per batch, inverted on device — ops/yuv.py)
+        link_format = loader_cfg.get('link_format', 'auto')
         self.train_gen = MultiGridDataGenerator(
             self.train_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, aug_cfg, train=True,
@@ -127,7 +130,8 @@ class MultiGridTrainer:
             disk_cache_dir=disk_cache_dir,
             cache_images_device=cache_device,
             device_cache_budget=device_budget,
-            device_cache_ledger=device_ledger)
+            device_cache_ledger=device_ledger,
+            link_format=link_format)
         self.val_gen = MultiGridDataGenerator(
             self.val_lines, self.spec['anchors'], self.spec['num_classes'],
             hw, batch_size, max_boxes, {'enabled': False}, train=False,

@@ -195,9 +195,91 @@ int load_one(const char* path, int th, int tw, uint8_t* out, float* meta) {
   return 0;
 }
 
+// Letterboxed RGB canvas -> planar YCbCr 4:2:0 (JPEG/BT.601 full
+// range; chroma 2x2 box-averaged).  Halves the bytes the host->device
+// link must carry per image (1.5 vs 3 B/px) — and since JPEG sources
+// are already 4:2:0 subsampled, the chroma average loses essentially
+// nothing the file ever had.  The device side inverts it in one fused
+// op (multigriddet_tpu/ops/yuv.py).  th and tw must be even (canvas
+// sides are multiples of 32).
+inline uint8_t clamp_u8(float v) {
+  return static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, v)));
+}
+
+void rgb_to_yuv420(const uint8_t* rgb, int th, int tw, uint8_t* y,
+                   uint8_t* cb, uint8_t* cr) {
+  for (int r = 0; r < th; ++r) {
+    const uint8_t* row = rgb + static_cast<size_t>(r) * tw * 3;
+    uint8_t* yrow = y + static_cast<size_t>(r) * tw;
+    for (int c = 0; c < tw; ++c) {
+      const float R = row[3 * c], G = row[3 * c + 1], B = row[3 * c + 2];
+      yrow[c] = clamp_u8(0.299f * R + 0.587f * G + 0.114f * B + 0.5f);
+    }
+  }
+  const int ch = th / 2, cw = tw / 2;
+  for (int r = 0; r < ch; ++r) {
+    const uint8_t* r0 = rgb + static_cast<size_t>(2 * r) * tw * 3;
+    const uint8_t* r1 = rgb + static_cast<size_t>(2 * r + 1) * tw * 3;
+    uint8_t* cbrow = cb + static_cast<size_t>(r) * cw;
+    uint8_t* crrow = cr + static_cast<size_t>(r) * cw;
+    for (int c = 0; c < cw; ++c) {
+      const int c0 = 3 * (2 * c), c1 = 3 * (2 * c + 1);
+      const float R = 0.25f * (r0[c0] + r0[c1] + r1[c0] + r1[c1]);
+      const float G = 0.25f * (r0[c0 + 1] + r0[c1 + 1] +
+                               r1[c0 + 1] + r1[c1 + 1]);
+      const float B = 0.25f * (r0[c0 + 2] + r0[c1 + 2] +
+                               r1[c0 + 2] + r1[c1 + 2]);
+      cbrow[c] =
+          clamp_u8(128.0f - 0.168736f * R - 0.331264f * G + 0.5f * B + 0.5f);
+      crrow[c] =
+          clamp_u8(128.0f + 0.5f * R - 0.418688f * G - 0.081312f * B + 0.5f);
+    }
+  }
+}
+
+// Decode + letterbox + convert to planar 4:2:0.  Gray letterbox fill
+// (128,128,128) maps to Y=128, Cb=Cr=128.
+int load_one_yuv(const char* path, int th, int tw, uint8_t* y, uint8_t* cb,
+                 uint8_t* cr, float* meta) {
+  std::vector<uint8_t> canvas(static_cast<size_t>(th) * tw * 3);
+  const int rc = load_one(path, th, tw, canvas.data(), meta);
+  if (rc != 0) return rc;
+  rgb_to_yuv420(canvas.data(), th, tw, y, cb, cr);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// YCbCr 4:2:0 batch API: ys [n, th, tw], cbs/crs [n, th/2, tw/2] u8;
+// metas [n, 5] f32; status [n] i32.  th, tw must be even.
+void mgd_load_letterbox_yuv_batch(const char** paths, int n, int th, int tw,
+                                  uint8_t* ys, uint8_t* cbs, uint8_t* crs,
+                                  float* metas, int* status, int nthreads) {
+  const size_t ysz = static_cast<size_t>(th) * tw;
+  const size_t csz = ysz / 4;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = load_one_yuv(paths[i], th, tw, ys + i * ysz,
+                               cbs + i * csz, crs + i * csz,
+                               metas + static_cast<size_t>(i) * 5);
+      if (status[i] != 0) {
+        std::memset(ys + i * ysz, 128, ysz);
+        std::memset(cbs + i * csz, 128, csz);
+        std::memset(crs + i * csz, 128, csz);
+      }
+    }
+  };
+  const int nt = std::max(1, std::min(nthreads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
 
 // Batch API: paths is n C strings; images out buffer [n, th, tw, 3] u8;
 // metas [n, 5] f32 (scale, pad_x, pad_y, full_w, full_h); status [n] i32.

@@ -337,7 +337,8 @@ def test_device_cache_multiscale_budget_fragmentation(files):
     At real scale the same arithmetic applies: with 320-672/32 buckets a
     4 GB budget holds len(dataset) * sum(h*w*3) only for the buckets it
     reaches first — docs/STATUS.md round 5 records the measured sizes."""
-    small_bank = len(files) * 32 * 32 * 3
+    # train generators default to the yuv420 link format: 1.5 B/px
+    small_bank = len(files) * (32 * 32 + 2 * 16 * 16)
     kw = dict(anchors=ANCHORS, num_classes=3, input_shape=(64, 64),
               batch_size=2, max_boxes=4, augment={'enabled': True},
               train=True, rescale_interval=1, seed=9)
@@ -385,12 +386,15 @@ def _materialize_raw(gen, item):
 
     from multigriddet_tpu.data.pipeline import _device_stage, _freeze
     if item[0] == 'host':
-        _, images_u8, boxes, hw, key = item
+        _, parts, boxes, hw, key = item
     else:
-        _, bank, idx, boxes, hw, key = item
-        images_u8 = np.asarray(bank)[np.asarray(idx)]
+        _, banks, idx, boxes, hw, key = item
+        idx = np.asarray(idx)
+        parts = tuple(np.asarray(b)[idx] for b in banks)
+    if not isinstance(parts, tuple):
+        parts = (parts,)
     img, y, _ = _device_stage(
-        jnp.asarray(images_u8), jnp.asarray(boxes), key,
+        tuple(jnp.asarray(p) for p in parts), jnp.asarray(boxes), key,
         _freeze(gen.augment_cfg), gen._anchors_tuple, gen.num_classes,
         tuple(hw), gen.train, gen.multi_anchor_assign)
     return np.asarray(img), [np.asarray(t) for t in y]

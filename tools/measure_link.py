@@ -10,8 +10,13 @@ same code.  This probe measures the link directly so a pipeline number
 can always be normalized by the link the host actually had that day
 (docs/STATUS.md round 5; VERDICT r4 #2 reconciliation).
 
-Usage: python tools/measure_link.py [mb=32] [reps=8]
-Prints one JSON line {h2d_gbps, d2h_gbps, rtt_ms, device}.
+Methodology notes: d2h times FRESH device arrays (jax caches an
+array's host copy after its first fetch, so re-fetching one array
+measures nothing), and h2d is reported per transfer size — the
+pipeline's operating point is the ~9 MB batch.
+
+Usage: python tools/measure_link.py [reps=6]
+Prints one JSON line {h2d_gbps_<mb>mb..., d2h_gbps, rtt_ms}.
 """
 
 import json
@@ -27,28 +32,42 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-MB = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+SIZES_MB = (1, 9, 32)
 
 
 def main():
     dev = jax.devices()[0]
-    n = MB << 20
-    host = np.random.RandomState(0).randint(0, 255, n, np.uint8)
-    # warm both directions + the allocator
-    d = jax.device_put(host, dev)
-    jax.block_until_ready(d)
-    np.asarray(d)
+    rng = np.random.RandomState(0)
+    out = {'metric': 'host_device_link', 'device': str(dev.platform),
+           'reps': REPS}
 
-    t0 = time.time()
-    for _ in range(REPS):
-        jax.block_until_ready(jax.device_put(host, dev))
-    h2d = MB * REPS / (time.time() - t0) / 1024
+    # warm the allocator + tunnel
+    warm = jax.device_put(rng.randint(0, 255, 1 << 20, np.uint8), dev)
+    jax.block_until_ready(warm)
+    np.asarray(warm)
 
+    for mb in SIZES_MB:
+        n = mb << 20
+        # distinct host buffers so no source-side caching can help
+        hosts = [rng.randint(0, 255, n, np.uint8) for _ in range(2)]
+        jax.block_until_ready(jax.device_put(hosts[0], dev))
+        t0 = time.time()
+        for i in range(REPS):
+            jax.block_until_ready(jax.device_put(hosts[i % 2], dev))
+        out[f'h2d_gbps_{mb}mb'] = round(
+            mb * REPS / (time.time() - t0) / 1024, 3)
+
+    # d2h: REPS fresh device arrays (first fetch each — no host cache)
+    mb = 9
+    n = mb << 20
+    devs = [jax.device_put(rng.randint(0, 255, n, np.uint8), dev)
+            for _ in range(REPS)]
+    jax.block_until_ready(devs)
     t0 = time.time()
-    for _ in range(REPS):
+    for d in devs:
         np.asarray(d)
-    d2h = MB * REPS / (time.time() - t0) / 1024
+    out['d2h_gbps_9mb'] = round(mb * REPS / (time.time() - t0) / 1024, 3)
 
     # dispatch round-trip: a trivial program on a scalar, forced
     one = jnp.ones(())
@@ -57,16 +76,9 @@ def main():
     t0 = time.time()
     for _ in range(32):
         jax.block_until_ready(f(one))
-    rtt_ms = (time.time() - t0) / 32 * 1e3
+    out['rtt_ms'] = round((time.time() - t0) / 32 * 1e3, 2)
 
-    print(json.dumps({
-        'metric': 'host_device_link',
-        'h2d_gbps': round(h2d, 3),
-        'd2h_gbps': round(d2h, 3),
-        'rtt_ms': round(rtt_ms, 2),
-        'mb': MB,
-        'device': str(dev.platform),
-    }))
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
