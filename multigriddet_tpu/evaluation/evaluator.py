@@ -133,19 +133,29 @@ class MultiGridEvaluator:
         import threading
 
         from ..data.annotations import HostImageLoader
+        workers = int((self.config.get('evaluation', {}) or {})
+                      .get('num_workers', 8))
         loader = HostImageLoader(lines, self.input_hw, max_boxes=1,
-                                 num_workers=8)
+                                 num_workers=workers)
         q: 'queue.Queue' = queue.Queue(maxsize=2)
 
         def producer():
             try:
                 for start in range(0, len(lines), self.batch_size):
                     chunk = lines[start:start + self.batch_size]
-                    batch_arr = np.zeros(
-                        (self.batch_size, *self.input_hw, 3), np.uint8)
-                    # decode+letterbox through the (native) loader
+                    # decode+letterbox through the (native) loader; only
+                    # the final short batch pays a pad-copy — re-copying
+                    # EVERY batch into a fresh buffer first-touch-faults
+                    # 33 MB/batch while transfers are in flight (the
+                    # calloc pathology, native/fastloader.cpp; measured
+                    # 14 -> >100 img/s on the 5k eval bench)
                     imgs_u8, _ = loader.load_batch(chunk)
-                    batch_arr[:len(chunk)] = imgs_u8
+                    if len(chunk) < self.batch_size:
+                        batch_arr = np.zeros(
+                            (self.batch_size, *self.input_hw, 3), np.uint8)
+                        batch_arr[:len(chunk)] = imgs_u8
+                    else:
+                        batch_arr = imgs_u8
                     metas = []
                     for bi, line in enumerate(chunk):
                         img_path, gt_boxes = parse_annotation_line(line)

@@ -57,9 +57,10 @@ def main():
     ev = config.setdefault('evaluation', {})
     ev['input_shape'] = [SIDE, SIDE, 3]
     ev['batch_size'] = 64
-    # random weights at confidence 0.1 emit a realistic per-image
+    # random weights at low confidence emit a realistic per-image
     # detection load for the matcher (max_detections caps it at the
     # reference's 500, ref evaluator.py:266)
+    ev['confidence_threshold'] = 0.02
     ev['save_results'] = False
     ev['use_parallel'] = False
     evaluator = MultiGridEvaluator(config)
