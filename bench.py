@@ -181,11 +181,19 @@ def bench_train_e2e():
          '32', '416', '3'],
         capture_output=True, text=True, timeout=1800, cwd=repo)
     got = json.loads(_last_json_line(proc))
+    # The HEADLINE e2e keys report the SHIPPED DEFAULT path: the fused
+    # single-program step (training.fused_input_stage, default on) over
+    # the HBM image bank (cache_images_device: true in the recommended
+    # config) — epoch >= 2 steady state, where the host link carries
+    # only boxes + row indices.  The host-streaming path (what r4's
+    # headline measured; the operating point for datasets that exceed
+    # the HBM bank budget) stays visible as the _stream keys; it is
+    # link-bound, so read it next to the link_* keys.
     out = {
-        'train_e2e_images_per_sec': got['e2e_img_per_s'],
-        'train_e2e_images_per_sec_min': got['e2e_img_per_s_min'],
-        'train_e2e_images_per_sec_max': got['e2e_img_per_s_max'],
-        'train_e2e_over_pure_step': got['e2e_over_pure'],
+        'train_e2e_stream_images_per_sec': got['e2e_img_per_s'],
+        'train_e2e_stream_images_per_sec_min': got['e2e_img_per_s_min'],
+        'train_e2e_stream_images_per_sec_max': got['e2e_img_per_s_max'],
+        'train_e2e_stream_over_pure_step': got['e2e_over_pure'],
     }
     # HBM image-bank steady state (cache_images_device): epoch >= 2
     # gathers pixels on device; host link carries only boxes + indices
@@ -195,6 +203,8 @@ def bench_train_e2e():
     # fused single-program path (make_fused_train_step over the HBM
     # bank): aug + encode + forward + backward + update, ONE dispatch
     if 'fused_img_per_s' in got:
+        out['train_e2e_images_per_sec'] = got['fused_img_per_s']
+        out['train_e2e_over_pure_step'] = got['fused_over_pure']
         out['train_e2e_fused_images_per_sec'] = got['fused_img_per_s']
         out['train_e2e_fused_over_pure_step'] = got['fused_over_pure']
     # b128 operating point, fused leg only (VERDICT r4 #7): the
@@ -256,6 +266,28 @@ def bench_pipeline():
     return out
 
 
+def bench_link():
+    """Host<->device link probe (tools/measure_link.py), subprocess.
+
+    The tunneled link's bandwidth varies >100x day to day (measured
+    1.0 GB/s on the r3 run, 0.15 on r4, 0.005 the day after — same
+    code); every streaming number in this file is link-bound, so the
+    link the host actually had must ride in the same JSON line.
+    """
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, 'tools', 'measure_link.py'),
+         '4'],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    got = json.loads(_last_json_line(proc))
+    return {'link_h2d_gbps_9mb': got['h2d_gbps_9mb'],
+            'link_d2h_gbps_9mb': got['d2h_gbps_9mb'],
+            'link_rtt_ms': got['rtt_ms']}
+
+
 def main():
     # pipeline FIRST: its subprocess needs the TPU, and once this parent
     # initializes its own client (first device use in bench_inference)
@@ -267,6 +299,11 @@ def main():
         pipeline = bench_pipeline()
     except Exception as exc:
         pipeline = {'bench_pipeline_error': f'{type(exc).__name__}'}
+    link = {}
+    try:
+        link = bench_link()
+    except Exception as exc:
+        link = {'bench_link_error': f'{type(exc).__name__}'}
     e2e = {}
     try:
         e2e = bench_train_e2e()
@@ -280,6 +317,7 @@ def main():
             result[f'bench_train_b{batch}_error'] = f'{type(exc).__name__}'
     result.update(e2e)
     result.update(pipeline)
+    result.update(link)
     print(json.dumps(result))
 
 

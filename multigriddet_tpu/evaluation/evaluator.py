@@ -92,6 +92,16 @@ class MultiGridEvaluator:
         else:
             print('WARNING: evaluating with random weights')
         self.variables = variables
+        # pixel transport (evaluation.link_format): 'auto' ships planar
+        # YCbCr 4:2:0 (half the host->device bytes; round trip errs
+        # less than one JPEG re-save, ops/yuv.py) when the canvas is
+        # even — on a tunneled link the eval loop is transfer-bound, so
+        # this is ~2x throughput.  'rgb' keeps the byte-exact transport.
+        lf = str(ev.get('link_format', 'auto'))
+        if lf == 'auto':
+            even = self.input_hw[0] % 2 == 0 and self.input_hw[1] % 2 == 0
+            lf = 'yuv420' if even else 'rgb'
+        self.link_format = lf
         self._infer = make_infer_step(
             self.model, self.spec['anchors'], self.input_hw,
             confidence=self.confidence, nms_threshold=self.nms_threshold,
@@ -99,7 +109,7 @@ class MultiGridEvaluator:
             max_boxes=self.max_detections,
             nms_backend=ev.get('nms_backend', 'xla'),
             pre_nms_top_k=int(ev.get('pre_nms_top_k', 1024)),
-            use_wbf=self.use_wbf,
+            use_wbf=self.use_wbf, link_format=self.link_format,
             )  # tuple outputs; fetch_detections does one batched get
 
     def _load_annotations(self, path: str):
@@ -136,7 +146,8 @@ class MultiGridEvaluator:
         workers = int((self.config.get('evaluation', {}) or {})
                       .get('num_workers', 8))
         loader = HostImageLoader(lines, self.input_hw, max_boxes=1,
-                                 num_workers=workers)
+                                 num_workers=workers,
+                                 link_format=self.link_format)
         q: 'queue.Queue' = queue.Queue(maxsize=2)
 
         def producer():
@@ -150,12 +161,16 @@ class MultiGridEvaluator:
                     # calloc pathology, native/fastloader.cpp; measured
                     # 14 -> >100 img/s on the 5k eval bench)
                     imgs_u8, _ = loader.load_batch(chunk)
+                    parts = (imgs_u8 if isinstance(imgs_u8, tuple)
+                             else (imgs_u8,))
                     if len(chunk) < self.batch_size:
-                        batch_arr = np.zeros(
-                            (self.batch_size, *self.input_hw, 3), np.uint8)
-                        batch_arr[:len(chunk)] = imgs_u8
-                    else:
-                        batch_arr = imgs_u8
+                        padded = []
+                        for p in parts:
+                            buf = np.zeros(
+                                (self.batch_size, *p.shape[1:]), p.dtype)
+                            buf[:len(chunk)] = p
+                            padded.append(buf)
+                        parts = tuple(padded)
                     metas = []
                     for bi, line in enumerate(chunk):
                         img_path, gt_boxes = parse_annotation_line(line)
@@ -178,7 +193,7 @@ class MultiGridEvaluator:
                             failed = True
                         metas.append((start + bi, gt_boxes, ih, iw, raw,
                                       failed))
-                    q.put((batch_arr, metas))
+                    q.put((parts, metas))
                 q.put(None)
             except BaseException as exc:
                 # propagate: a swallowed producer error would silently
@@ -186,17 +201,21 @@ class MultiGridEvaluator:
                 q.put(exc)
 
         threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            batch_arr, metas = item
 
+        # software pipeline (depth like the engine's detect_files): keep
+        # a few batches in flight so the next batch's host->device
+        # transfer and the device compute overlap this batch's
+        # device->host fetch + host postprocess, instead of serializing
+        # transfer -> compute -> fetch -> postprocess per batch
+        from collections import deque
+        depth = max(int(self.eval_cfg.get('pipeline_depth', 4)), 0)
+        pending: 'deque' = deque()
+
+        def drain_one():
+            nonlocal t_infer, n_saved
+            outs, metas = pending.popleft()
             t0 = time.time()
-            outs = self._infer(self.variables, jnp.asarray(batch_arr))
-            bxs, cls, scs, valid = fetch_detections(outs)  # one batched get
+            bxs, cls, scs, valid = fetch_detections(outs)  # 1 batched get
             t_infer += time.time() - t0
             for bi, (img_id, gt_boxes, ih, iw, raw,
                      failed) in enumerate(metas):
@@ -231,6 +250,23 @@ class MultiGridEvaluator:
                                          img_id, colors, annotated_cfg)
                     n_saved += 1
 
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            parts, metas = item
+            t0 = time.time()
+            outs = self._infer(self.variables,
+                               *(jnp.asarray(p) for p in parts))
+            t_infer += time.time() - t0
+            pending.append((outs, metas))
+            if len(pending) > depth:
+                drain_one()
+        while pending:
+            drain_one()
+
         self.timing['inference_s'] = t_infer
         n = len(lines)
         self.timing['images_per_sec'] = n / t_infer if t_infer > 0 else 0.0
@@ -250,7 +286,11 @@ class MultiGridEvaluator:
                 predictions, ground_truths, self.spec['num_classes'],
                 self.iou_thresholds, self.interp, self.optimize_classes,
                 self.class_names,
-                use_parallel=bool(self.eval_cfg.get('use_parallel', False)))
+                # default ON from measurement: at 5k images x ~400
+                # preds/image the metrics phase runs 16.0 s sequential
+                # vs 12.5 s parallel on a 1-core host (the native
+                # matcher releases the GIL) — tools/bench_eval_e2e.py
+                use_parallel=bool(self.eval_cfg.get('use_parallel', True)))
         self.timing['metrics_s'] = time.time() - t0
         self.timing['total_s'] = time.time() - t0_all
         results['timing'] = dict(self.timing)

@@ -54,6 +54,13 @@ class MultiGridInference:
         # 'reference' (exact twin of the reference's seed-box clustering,
         # pinned to fixtures — see postprocess/wbf.py)
         self.wbf_mode = str(det.get('wbf_mode', 'paper'))
+        # detection.link_format: 'yuv420' ships planar YCbCr 4:2:0 over
+        # the host->device link on the file-serving path (half the bytes
+        # of RGB; the native JPEG loader emits the planes for free) —
+        # ~2x directory/eval-style serving on a transfer-bound link.
+        # Default 'rgb' keeps serving byte-exact (the evaluator, a
+        # measurement path, defaults to yuv420 instead — evaluator.py).
+        self.link_format = str(det.get('link_format', 'rgb'))
         self._load_model()
 
     def _load_model(self):
@@ -93,6 +100,17 @@ class MultiGridInference:
             max_boxes=self.max_boxes, class_aware=self.class_aware,
             nms_backend=self.nms_backend, pre_nms_top_k=self.pre_nms_top_k,
             use_wbf=self.use_wbf)
+        self._infer_yuv = None
+        if self.link_format == 'yuv420':
+            self._infer_yuv = make_infer_step(
+                self.model, self.spec['anchors'], self.input_hw,
+                confidence=self.confidence,
+                nms_threshold=self.nms_threshold,
+                nms_method=self.nms_method, use_iol=self.use_iol,
+                max_boxes=self.max_boxes, class_aware=self.class_aware,
+                nms_backend=self.nms_backend,
+                pre_nms_top_k=self.pre_nms_top_k,
+                use_wbf=self.use_wbf, link_format='yuv420')
         # tuple outputs, fetched with ONE batched device_get: cheaper
         # than the packed-concat single-fetch design (the concat costs
         # ~6% of the fused program at b128; four batched transfers
@@ -222,16 +240,30 @@ class MultiGridInference:
             for i, r in zip(good_idx, good):
                 fallback_results[i] = r
             return fallback_results
+        use_yuv = self._infer_yuv is not None
+        if use_yuv:
+            from ..data.native import yuv_available
+            from ..ops.yuv import rgb_to_yuv420_np
+            use_yuv = (yuv_available() and self.input_hw[0] % 2 == 0
+                       and self.input_hw[1] % 2 == 0)
+        if use_yuv:
+            from ..data.native import load_letterbox_yuv_batch
         results = []
         pending = deque()
         for start in range(0, len(paths), batch_size):
             chunk = paths[start:start + batch_size]
-            imgs, metas, ok = load_letterbox_batch(chunk, self.input_hw,
-                                                   num_workers)
+            if use_yuv:
+                ys, cbs, crs, metas, ok = load_letterbox_yuv_batch(
+                    chunk, self.input_hw, num_workers)
+                parts = [ys, cbs, crs]
+            else:
+                imgs, metas, ok = load_letterbox_batch(
+                    chunk, self.input_hw, num_workers)
+                parts = [imgs]
             if len(chunk) < batch_size:  # fixed shape for the jit cache
-                pad = np.zeros((batch_size - len(chunk), *self.input_hw, 3),
-                               np.uint8)
-                imgs = np.concatenate([imgs, pad], axis=0)
+                parts = [np.concatenate(
+                    [p, np.zeros((batch_size - len(chunk), *p.shape[1:]),
+                                 np.uint8)], axis=0) for p in parts]
             sizes = [(int(m[4]), int(m[3])) if good else None
                      for m, good in zip(metas, ok)]
             # the native loader decodes JPEG only: retry failed slots with
@@ -245,11 +277,19 @@ class MultiGridInference:
                         rgb = im.convert('RGB')
                         iw, ih = rgb.size
                         arr, _, _, _ = letterbox_image(rgb, self.input_hw)
-                    imgs[i] = arr
+                    if use_yuv:
+                        for p, plane in zip(parts, rgb_to_yuv420_np(arr)):
+                            p[i] = plane
+                    else:
+                        parts[0][i] = arr
                     sizes[i] = (ih, iw)
                 except Exception:
                     pass  # unreadable/corrupt file -> empty result slot
-            outs = self._infer(self.variables, jnp.asarray(imgs))
+            if use_yuv:
+                outs = self._infer_yuv(self.variables,
+                                       *(jnp.asarray(p) for p in parts))
+            else:
+                outs = self._infer(self.variables, jnp.asarray(parts[0]))
             pending.append((outs, sizes))
             if len(pending) > max(pipeline_depth, 0):
                 self._postprocess_batch(*pending.popleft(), results)

@@ -287,6 +287,43 @@ def test_engine_wbf_mode_reference(config):
     assert len(pb) == 3
 
 
+def test_detect_files_yuv_transport(config, tmp_path):
+    """detection.link_format: yuv420 serves detect_files over the
+    half-bandwidth 4:2:0 transport; detections stay within the
+    transport tolerance of the rgb path (smooth content) and the
+    non-JPEG/undecodable contracts hold unchanged."""
+    engine_rgb = MultiGridInference(config)
+    cfg = dict(config)
+    cfg['detection'] = dict(config['detection'], link_format='yuv420')
+    engine_yuv = MultiGridInference(cfg)
+    assert engine_yuv._infer_yuv is not None
+    rng = np.random.RandomState(9)
+    paths = []
+    for i in range(3):
+        low = rng.randint(0, 255, (16, 20, 3)).astype('uint8')
+        img = Image.fromarray(low).resize((80, 64), Image.BICUBIC)
+        p = tmp_path / f'y{i}.jpg'
+        img.save(p, quality=95)
+        paths.append(str(p))
+    bad = tmp_path / 'broken.jpg'
+    bad.write_bytes(b'not a jpeg')
+    paths.append(str(bad))
+    r_yuv = engine_yuv.detect_files(paths, batch_size=2)
+    r_rgb = engine_rgb.detect_files(paths, batch_size=2)
+    assert len(r_yuv) == len(r_rgb) == 4
+    assert len(r_yuv[-1][0]) == 0  # broken file stays empty
+    # random weights make NMS rank-order sensitive to the transport's
+    # small pixel perturbation, so compare as SETS: most yuv detections
+    # must sit within a few px of some rgb detection
+    matched = total = 0
+    for (yb, yc, ys), (rb, rc, rs) in zip(r_yuv[:3], r_rgb[:3]):
+        for box in yb:
+            total += 1
+            if len(rb) and np.abs(rb - box[None]).max(axis=1).min() < 8.0:
+                matched += 1
+    assert total == 0 or matched / total > 0.5, (matched, total)
+
+
 def test_detect_files_pil_fallback_bad_files(config, tmp_path, monkeypatch):
     """Without the native loader, detect_files must keep its contract:
     one result per path, empty results for unreadable/corrupt files

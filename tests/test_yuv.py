@@ -172,6 +172,77 @@ def test_generator_auto_resolution(files):
     g_eval.close()
 
 
+def test_infer_step_yuv_matches_rgb():
+    """make_infer_step(link_format='yuv420') takes (y, cb, cr) planes
+    and inverts the transport on device.  On the one input the
+    transport reconstructs bit-exactly (the all-128 letterbox gray,
+    test_gray_letterbox_bands_exact) the two steps feed the model
+    identical pixels, so the fused forward+decode+NMS outputs must
+    agree — pinning the plumbing (argument order, /255 normalization,
+    conversion placement)."""
+    import jax.numpy as jnp
+
+    from multigriddet_tpu.models import create_model
+    from multigriddet_tpu.training.steps import (fetch_detections,
+                                                 make_infer_step)
+    model = create_model('multigriddet_mobile', num_classes=3)
+    import jax
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    canvas = np.full((2, 64, 64, 3), 128, np.uint8)
+    kw = dict(confidence=0.0, max_boxes=8, pre_nms_top_k=16)
+    step_rgb = make_infer_step(model, ANCHORS, (64, 64), **kw)
+    step_yuv = make_infer_step(model, ANCHORS, (64, 64),
+                               link_format='yuv420', **kw)
+    y, cb, cr = rgb_to_yuv420_np(canvas)
+    b1, c1, s1, v1 = fetch_detections(step_rgb(variables,
+                                               jnp.asarray(canvas)))
+    b2, c2, s2, v2 = fetch_detections(step_yuv(
+        variables, jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)))
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(c1[v1], c2[v2])
+    np.testing.assert_allclose(s1[v1], s2[v2], atol=1e-4)
+    np.testing.assert_allclose(b1[v1], b2[v2], atol=0.05)
+
+
+def test_evaluator_yuv_auto(tmp_path):
+    """MultiGridEvaluator defaults to the yuv420 transport on even
+    canvases (evaluation.link_format: auto) and still produces finite
+    mAP; link_format: rgb opts back out."""
+    rng = np.random.RandomState(3)
+    lines = []
+    for i in range(3):
+        img = Image.fromarray(
+            rng.randint(0, 255, (20, 25, 3)).astype('uint8')
+        ).resize((100, 80), Image.BICUBIC)
+        p = tmp_path / f'e{i}.jpg'
+        img.save(p, quality=92)
+        lines.append(f'{p} 10,10,60,50,{i % 3}')
+    ann = tmp_path / 'ann.txt'
+    ann.write_text('\n'.join(lines) + '\n')
+    from multigriddet_tpu.evaluation import MultiGridEvaluator
+    anchor_path = tmp_path / 'anchors.txt'
+    anchor_path.write_text('40,40\n20,20\n10,10\n')
+    cfg = {
+        'model': {'preset': {'architecture': 'multigriddet_mobile',
+                             'num_classes': 3,
+                             'input_shape': [64, 64, 3],
+                             'anchors_path': str(anchor_path)}},
+        'data': {'annotation': str(ann)},
+        'evaluation': {'batch_size': 2, 'confidence_threshold': 0.0,
+                       'save_results': False},
+    }
+    ev = MultiGridEvaluator(cfg)
+    assert ev.link_format == 'yuv420'
+    res = ev.evaluate()
+    assert np.isfinite(res['mAP50'])
+    cfg['evaluation']['link_format'] = 'rgb'
+    ev2 = MultiGridEvaluator(cfg)
+    assert ev2.link_format == 'rgb'
+    res2 = ev2.evaluate()
+    assert np.isfinite(res2['mAP50'])
+
+
 def test_yuv_hbm_bank_halves_bytes(files):
     """The device image bank stores the yuv planes (1.5 B/px), so the
     same budget holds twice the images; epoch 2 gathers reproduce the

@@ -16,7 +16,8 @@ eval_config.yaml.example:44-47).
 
 The done-bar: metrics_s < inference_s at 5k images.
 
-Usage: python tools/bench_eval_e2e.py [n_images=5000] [side=416]
+Usage: python tools/bench_eval_e2e.py [n_images=5000] [side=416] \
+                                      [link_format=auto]
 Prints one JSON line with the phase table.
 """
 
@@ -40,6 +41,7 @@ from bench_pipeline import make_dataset  # noqa: E402
 
 N_IMAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 SIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 416
+LINK_FORMAT = sys.argv[3] if len(sys.argv) > 3 else 'auto'
 
 def main():
     lines = make_dataset('/tmp/bench_eval_ds', N_IMAGES)
@@ -63,6 +65,7 @@ def main():
     ev['confidence_threshold'] = 0.02
     ev['save_results'] = False
     ev['use_parallel'] = False
+    ev['link_format'] = LINK_FORMAT
     evaluator = MultiGridEvaluator(config)
 
     t0 = time.time()
@@ -82,6 +85,7 @@ def main():
 
     out = {
         'metric': f'eval_e2e_{N_IMAGES}img_{SIDE}',
+        'link_format': evaluator.link_format,
         'num_images': N_IMAGES,
         'num_predictions': n_preds,
         'inference_s': round(t['inference_s'], 2),
